@@ -1,0 +1,111 @@
+"""Numerical tests: jnp geometry kernels vs host numpy golden implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from toda_tpu.ops import boxes_iou_bev, boxes_iou3d, nms_bev, points_in_boxes
+from toda_tpu.utils import box_utils
+
+
+def random_boxes(rng, n, span=20.0):
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(-span, span, (n, 2))
+    boxes[:, 2] = rng.uniform(-2, 2, n)
+    boxes[:, 3:5] = rng.uniform(1.0, 5.0, (n, 2))
+    boxes[:, 5] = rng.uniform(1.0, 3.0, n)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes
+
+
+class TestRotatedIoU:
+    def test_identical_boxes(self):
+        b = np.array([[0, 0, 0, 4, 2, 1.5, 0.3]], dtype=np.float32)
+        iou = np.asarray(boxes_iou_bev(jnp.asarray(b), jnp.asarray(b)))
+        assert abs(iou[0, 0] - 1.0) < 1e-4
+
+    def test_disjoint(self):
+        a = np.array([[0, 0, 0, 2, 2, 2, 0.0]], dtype=np.float32)
+        b = np.array([[10, 10, 0, 2, 2, 2, 0.5]], dtype=np.float32)
+        iou = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        assert iou[0, 0] == 0.0
+
+    def test_axis_aligned_analytic(self):
+        # two unit squares overlapping by half
+        a = np.array([[0, 0, 0, 2, 2, 2, 0.0]], dtype=np.float32)
+        b = np.array([[1, 0, 0, 2, 2, 2, 0.0]], dtype=np.float32)
+        iou = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        # inter = 2, union = 4 + 4 - 2 = 6
+        assert abs(iou[0, 0] - 2.0 / 6.0) < 1e-4
+
+    def test_rotated_45_analytic(self):
+        # square rotated 45deg inside same-center square: inter = rotated area iff
+        # diag fits: 2x2 square vs sqrt2 x sqrt2 rotated 45 -> rotated diamond
+        # vertices at (±1, 0), (0, ±1): fully inside. inter = 2, union = 4.
+        a = np.array([[0, 0, 0, 2, 2, 2, 0.0]], dtype=np.float32)
+        b = np.array([[0, 0, 0, np.sqrt(2), np.sqrt(2), 2, np.pi / 4]], dtype=np.float32)
+        iou = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(iou[0, 0] - 0.5) < 1e-3
+
+    def test_matches_cpu_golden(self, rng):
+        a = random_boxes(rng, 24)
+        b = random_boxes(rng, 16)
+        got = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        want = box_utils.boxes_bev_iou_cpu(a, b)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_iou3d_z_disjoint(self):
+        a = np.array([[0, 0, 0, 2, 2, 2, 0.0]], dtype=np.float32)
+        b = np.array([[0, 0, 5, 2, 2, 2, 0.0]], dtype=np.float32)
+        iou = np.asarray(boxes_iou3d(jnp.asarray(a), jnp.asarray(b)))
+        assert iou[0, 0] == 0.0
+
+
+class TestNMS:
+    def test_suppresses_duplicates(self, rng):
+        base = random_boxes(rng, 8)
+        jitter = base.copy()
+        jitter[:, 0:2] += 0.05
+        boxes = np.concatenate([base, jitter])
+        scores = np.concatenate([np.ones(8), 0.5 * np.ones(8)]).astype(np.float32)
+        idx, mask = nms_bev(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                            pre_maxsize=16, post_maxsize=16)
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        kept = set(idx[mask].tolist())
+        assert mask.sum() == 8
+        assert kept == set(range(8))  # high-score originals survive
+
+    def test_keeps_disjoint(self, rng):
+        boxes = np.zeros((4, 7), dtype=np.float32)
+        boxes[:, 0] = np.arange(4) * 20
+        boxes[:, 3:6] = 2
+        scores = rng.rand(4).astype(np.float32)
+        idx, mask = nms_bev(jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+                            pre_maxsize=4, post_maxsize=4)
+        assert np.asarray(mask).sum() == 4
+
+    def test_respects_valid_mask(self, rng):
+        boxes = random_boxes(rng, 8)
+        scores = rng.rand(8).astype(np.float32)
+        vm = np.zeros(8, dtype=bool)
+        vm[:3] = True
+        idx, mask = nms_bev(jnp.asarray(boxes), jnp.asarray(scores), 0.9,
+                            pre_maxsize=8, post_maxsize=8, valid_mask=jnp.asarray(vm))
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        assert set(idx[mask].tolist()) <= {0, 1, 2}
+
+
+class TestPointsInBoxes:
+    def test_matches_numpy(self, rng):
+        boxes = random_boxes(rng, 10)
+        pts = rng.uniform(-25, 25, (500, 4)).astype(np.float32)
+        got = np.asarray(points_in_boxes(jnp.asarray(pts), jnp.asarray(boxes)))
+        want = box_utils.points_in_boxes_numpy(pts, boxes)
+        # boundary points may differ by fp tolerance; interior must agree
+        disagree = got != want
+        assert disagree.mean() < 0.01
+
+    def test_zero_box_matches_nothing(self, rng):
+        boxes = np.zeros((3, 7), dtype=np.float32)
+        pts = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+        got = np.asarray(points_in_boxes(jnp.asarray(pts), jnp.asarray(boxes)))
+        assert not got.any()

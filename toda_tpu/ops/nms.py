@@ -1,0 +1,131 @@
+"""Rotated BEV NMS in pure JAX (static shapes, mask-in/mask-out).
+
+Replaces the reference's 64-box-bitmask CUDA NMS (``nms_gpu`` in
+pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu) and the python wrappers
+``class_agnostic_nms`` / ``multi_classes_nms`` (pcdet/models/model_utils/
+model_nms_utils.py:6-67).
+
+Design: top-K by score (static K), one dense KxK rotated-IoU matrix (the O(K^2)
+work maps onto the VPU as a few dense ops), then a sequential greedy sweep as a
+`fori_loop` carrying a suppression mask — K iterations of K-wide vector ops.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import boxes_iou_bev
+
+NEG_INF = -1e9
+
+
+@partial(jax.jit, static_argnames=("pre_maxsize", "post_maxsize"))
+def nms_bev(boxes, scores, thresh, pre_maxsize=1024, post_maxsize=512, valid_mask=None):
+    """Greedy rotated-BEV NMS.
+
+    Args:
+        boxes: (N, 7) [x, y, z, dx, dy, dz, heading]
+        scores: (N,) confidence; padding rows should carry -inf (or pass valid_mask)
+        thresh: IoU suppression threshold
+        valid_mask: optional (N,) bool
+    Returns:
+        keep_idx: (post_maxsize,) int32 indices into the input rows
+        keep_mask: (post_maxsize,) bool — which of those slots are real detections
+    """
+    n = boxes.shape[0]
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    k = min(pre_maxsize, n)
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = boxes[order]
+
+    iou = boxes_iou_bev(top_boxes, top_boxes)  # (k, k)
+    alive_score = top_scores > NEG_INF / 2
+
+    def body(i, state):
+        keep, suppressed = state
+        is_keep = jnp.logical_and(jnp.logical_not(suppressed[i]), alive_score[i])
+        keep = keep.at[i].set(is_keep)
+        suppressed = jnp.where(is_keep, jnp.logical_or(suppressed, iou[i] > thresh), suppressed)
+        return keep, suppressed
+
+    keep = jnp.zeros((k,), dtype=bool)
+    suppressed = jnp.zeros((k,), dtype=bool)
+    keep, _ = jax.lax.fori_loop(0, k, body, (keep, suppressed))
+
+    # Compact kept rows (already score-ordered) into post_maxsize slots.
+    sel_scores = jnp.where(keep, top_scores, NEG_INF)
+    kk = min(post_maxsize, k)
+    _, sel = jax.lax.top_k(sel_scores, kk)
+    keep_idx = order[sel]
+    keep_mask = keep[sel]
+    if kk < post_maxsize:
+        keep_idx = jnp.pad(keep_idx, (0, post_maxsize - kk))
+        keep_mask = jnp.pad(keep_mask, (0, post_maxsize - kk))
+    return keep_idx.astype(jnp.int32), keep_mask
+
+
+@partial(jax.jit, static_argnames=("pre_maxsize", "post_maxsize"))
+def class_agnostic_nms(
+    box_scores,
+    box_preds,
+    score_thresh=None,
+    nms_thresh=0.2,
+    pre_maxsize=1024,
+    post_maxsize=512,
+    valid_mask=None,
+):
+    """Score-threshold + NMS, mirroring model_nms_utils.class_agnostic_nms
+    (reference pcdet/models/model_utils/model_nms_utils.py:6-26).
+
+    Returns (selected_idx, selected_mask) of static size post_maxsize.
+    """
+    mask = jnp.ones_like(box_scores, dtype=bool) if valid_mask is None else valid_mask
+    if score_thresh is not None:
+        mask = jnp.logical_and(mask, box_scores >= score_thresh)
+    return nms_bev(
+        box_preds,
+        box_scores,
+        nms_thresh,
+        pre_maxsize=pre_maxsize,
+        post_maxsize=post_maxsize,
+        valid_mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("post_maxsize",))
+def circle_nms(centers, scores, radius, post_maxsize=83, valid_mask=None):
+    """CenterPoint circle-NMS: suppress detections whose center distance < radius.
+
+    Reference: pcdet/models/model_utils/centernet_utils.py (numba circle_nms).
+    centers (N, 2), scores (N,). Returns (keep_idx, keep_mask) sized post_maxsize.
+    """
+    n = centers.shape[0]
+    s = scores if valid_mask is None else jnp.where(valid_mask, scores, NEG_INF)
+    order = jnp.argsort(-s)
+    c = centers[order]
+    so = s[order]
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    close = d2 < radius**2
+    alive_score = so > NEG_INF / 2
+
+    def body(i, state):
+        keep, suppressed = state
+        is_keep = jnp.logical_and(jnp.logical_not(suppressed[i]), alive_score[i])
+        keep = keep.at[i].set(is_keep)
+        suppressed = jnp.where(is_keep, jnp.logical_or(suppressed, close[i]), suppressed)
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    )
+    sel_scores = jnp.where(keep, so, NEG_INF)
+    kk = min(post_maxsize, n)
+    _, sel = jax.lax.top_k(sel_scores, kk)
+    keep_idx = order[sel]
+    keep_mask = keep[sel]
+    if kk < post_maxsize:
+        keep_idx = jnp.pad(keep_idx, (0, post_maxsize - kk))
+        keep_mask = jnp.pad(keep_mask, (0, post_maxsize - kk))
+    return keep_idx.astype(jnp.int32), keep_mask
