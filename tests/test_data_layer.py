@@ -1,0 +1,133 @@
+"""Data layer tests: synthetic dataset, static-shape contract, aug record/replay."""
+
+import numpy as np
+import pytest
+import yaml
+
+from toda_tpu.config import EDict
+from toda_tpu.datasets import build_dataloader
+from toda_tpu.datasets.augmentor import augmentor_utils
+
+CFG_PATH = "tools/cfgs/dataset_configs/synthetic_dataset.yaml"
+CLASS_NAMES = ["car", "pedestrian"]
+
+
+@pytest.fixture(scope="module")
+def data_cfg():
+    with open(CFG_PATH) as f:
+        return EDict(yaml.safe_load(f))
+
+
+def test_static_shapes(data_cfg):
+    ds, loader, _ = build_dataloader(data_cfg, CLASS_NAMES, batch_size=2, training=True)
+    batch = next(iter(loader))
+    assert batch["points"].shape == (2, 8192, 4)
+    assert batch["points_mask"].shape == (2, 8192)
+    assert batch["gt_boxes"].shape == (2, 32, 8)
+    assert batch["batch_size"] == 2
+    # class ids are 1-indexed, padding rows zero
+    cls = batch["gt_boxes"][..., 7]
+    valid = cls > 0
+    assert valid.any()
+    assert set(np.unique(cls[valid])) <= {1.0, 2.0}
+    # padded box rows are fully zero
+    assert (batch["gt_boxes"][~valid] == 0).all()
+
+
+def test_deterministic_scenes(data_cfg):
+    ds, _, _ = build_dataloader(data_cfg, CLASS_NAMES, batch_size=2, training=False)
+    p1, b1, n1 = ds.get_raw_scene(3)
+    p2, b2, n2 = ds.get_raw_scene(3)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_eval_shapes(data_cfg):
+    ds, loader, _ = build_dataloader(data_cfg, CLASS_NAMES, batch_size=2, training=False)
+    batch = next(iter(loader))
+    assert not ds.training
+    assert batch["points"].shape[0] == 2
+
+
+def test_augmentation_recorded(data_cfg):
+    ds, loader, _ = build_dataloader(data_cfg, CLASS_NAMES, batch_size=1, training=True)
+    item = ds[0]
+    names = [n for n, _ in item["augmentation_params"]]
+    assert "random_world_rotation" in names
+    assert "random_world_scaling" in names
+
+
+def test_replay_reproduces(data_cfg):
+    from toda_tpu.datasets import build_dataset
+
+    ds = build_dataset(data_cfg, CLASS_NAMES, training=True)
+    np.random.seed(7)
+    item1 = ds[0]
+    replay = item1["augmentation_params"]
+    # replay with different global rng state must give identical output
+    points, gt_boxes, gt_names = ds.get_raw_scene(0)
+    np.random.seed(123)
+    item2 = ds.prepare_data(
+        {"points": points, "gt_boxes": gt_boxes, "gt_names": gt_names,
+         "frame_id": 0, "replay_params": replay}
+    )
+    # box geometry identical (point sampling/shuffle still random)
+    v1 = item1["gt_boxes"][item1["gt_boxes"][:, 7] > 0]
+    v2 = item2["gt_boxes"][item2["gt_boxes"][:, 7] > 0]
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+
+def test_reverse_transform_roundtrip(rng):
+    boxes = np.zeros((5, 7), dtype=np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (5, 3))
+    boxes[:, 3:6] = rng.uniform(1, 4, (5, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 5)
+    pts = rng.uniform(-10, 10, (20, 4)).astype(np.float32)
+
+    b, p, f = augmentor_utils.random_flip_along_x(boxes, pts, params=True)
+    params = [("random_world_flip_x", f)]
+    b, p, r = augmentor_utils.global_rotation(b, p, [-0.5, 0.5])
+    params.append(("random_world_rotation", r))
+    b, p, s = augmentor_utils.global_scaling(b, p, [0.9, 1.1])
+    params.append(("random_world_scaling", s))
+
+    restored = augmentor_utils.reverse_boxes_transform(b, params)
+    np.testing.assert_allclose(restored[:, :6], boxes[:, :6], atol=1e-4)
+    # headings equal modulo 2pi
+    dh = (restored[:, 6] - boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dh, 0, atol=1e-4)
+
+
+def test_gt_sampling(data_cfg, tmp_path):
+    """DataBaseSampler pastes DB objects and carves background."""
+    import pickle
+
+    from toda_tpu.datasets import build_dataset
+    from toda_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+
+    ds = build_dataset(data_cfg, CLASS_NAMES, training=True)
+    db = ds.create_groundtruth_database(num_scenes=8)
+    db_path = tmp_path / "db_infos.pkl"
+    with open(db_path, "wb") as f:
+        pickle.dump(db, f)
+
+    sampler_cfg = EDict(
+        {
+            "DB_INFO_PATH": [str(db_path)],
+            "PREPARE": {"filter_by_min_points": ["car:5", "pedestrian:5"]},
+            "SAMPLE_GROUPS": ["car:12", "pedestrian:12"],
+            "LIMIT_WHOLE_SCENE": True,
+        }
+    )
+    sampler = DataBaseSampler(None, sampler_cfg, CLASS_NAMES)
+    points, gt_boxes, gt_names = ds.get_raw_scene(0)
+    n_before = len(gt_boxes)
+    out = sampler({"points": points, "gt_boxes": gt_boxes, "gt_names": gt_names})
+    assert len(out["gt_boxes"]) > n_before
+    assert len(out["gt_names"]) == len(out["gt_boxes"])
+    # no pair of boxes collides
+    from toda_tpu.utils import box_utils
+
+    iou = box_utils.boxes3d_nearest_bev_iou(out["gt_boxes"][:, :7], out["gt_boxes"][:, :7])
+    np.fill_diagonal(iou, 0)
+    assert iou.max() < 0.05

@@ -1,0 +1,112 @@
+"""Dataset registry + dataloader builders.
+
+Reference: pcdet/datasets/__init__.py:68-157 (build_dataloader and the distributed
+samplers). The torch DataLoader/DistributedSampler machinery is replaced by a
+lightweight host loader: per-process index sharding (`indices[rank::world]`), numpy
+collation, and an iterator the train loop feeds straight to jit (device_put happens
+at the jit boundary; on TPU hosts there are no fork-based worker processes).
+"""
+
+import numpy as np
+
+from .dataset import DatasetTemplate
+from .synthetic.synthetic_dataset import SyntheticDataset
+
+__all__ = {
+    "DatasetTemplate": DatasetTemplate,
+    "SyntheticDataset": SyntheticDataset,
+}
+
+
+def _register_lazy():
+    # heavier adapters are imported lazily so the core package has no optional deps
+    from .nuscenes.nuscenes_dataset import NuScenesDataset  # noqa
+
+    __all__["NuScenesDataset"] = NuScenesDataset
+
+
+class DataLoader:
+    """Minimal epoch-based loader over a DatasetTemplate with static-shape collate."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=True,
+                 rank=0, world_size=1, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.world_size > 1:
+            # pad to a multiple of world_size so every process sees equal batches
+            pad = (-len(idx)) % self.world_size
+            if pad and not self.drop_last:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.rank :: self.world_size]
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size and not self.drop_last:
+                chunk = np.concatenate([chunk, idx[: self.batch_size - len(chunk)]])
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield self.dataset.collate_batch(samples)
+
+
+def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logger=None):
+    name = dataset_cfg.DATASET
+    if name == "SyntheticDataset":
+        cls = SyntheticDataset
+    elif name == "NuScenesDataset":
+        _register_lazy()
+        cls = __all__["NuScenesDataset"]
+    else:
+        raise KeyError(f"unknown dataset: {name}")
+    return cls(
+        dataset_cfg=dataset_cfg,
+        class_names=class_names,
+        training=training,
+        root_path=root_path,
+        logger=logger,
+    )
+
+
+def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,
+                     workers=0, logger=None, training=True, seed=0, total_epochs=0):
+    """Returns (dataset, dataloader, sampler_like) mirroring the reference tuple."""
+    import jax
+
+    dataset = build_dataset(dataset_cfg, class_names, training, root_path, logger)
+    rank = jax.process_index() if dist else 0
+    world = jax.process_count() if dist else 1
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=training,
+        drop_last=training,
+        rank=rank,
+        world_size=world,
+        seed=seed,
+    )
+    return dataset, loader, loader
