@@ -1,0 +1,289 @@
+"""Config-driven detector assembly + functional train/eval surface.
+
+Reference: pcdet/models/detectors/detector3d_template.py:23-173 (module_topology
+walk) and :178-328 (post_processing). Redesign for JAX:
+
+  * `Detector3D` is ONE generic flax module that instantiates whichever stages the
+    cfg names (vfe / backbone_3d / map_to_bev / backbone_2d / dense_head) — the
+    reference's per-detector subclasses mostly differ in loss composition, which
+    here lives in pure functions on `DetectorBundle`.
+  * Voxelization happens INSIDE the model (device-side, part of the jitted step) —
+    batch_dict arrives with just padded points.
+  * `DetectorBundle` carries the static companions (anchors, target assigner, box
+    coder, post-processing cfg) and exposes `loss(params, batch)` /
+    `predict(params, batch)` pure functions for jit/grad.
+"""
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import voxelize
+from ...ops.nms import class_agnostic_nms
+from ...utils.box_coder_utils import ResidualCoder
+from ..backbones_2d import __all__ as bev_backbones
+from ..backbones_2d.map_to_bev import __all__ as map_to_bev_modules
+from ..backbones_3d.vfe import __all__ as vfe_modules
+from ..dense_heads import __all__ as dense_heads
+from ..dense_heads.anchor_head_single import anchor_head_loss, generate_predicted_boxes
+from ..dense_heads.target_assigner.anchor_generator import AnchorGenerator
+from ..dense_heads.target_assigner.axis_aligned_target_assigner import (
+    AxisAlignedTargetAssigner,
+)
+
+
+@dataclass(frozen=True)
+class DatasetMeta:
+    """Static dataset facts the model needs at build/trace time."""
+
+    class_names: tuple
+    point_cloud_range: tuple
+    voxel_size: tuple
+    grid_size: tuple  # (nx, ny, nz)
+    num_point_features: int
+    max_voxels: int
+    max_points_per_voxel: int
+
+    @classmethod
+    def from_dataset(cls, dataset):
+        return cls(
+            class_names=tuple(dataset.class_names),
+            point_cloud_range=tuple(float(v) for v in dataset.point_cloud_range),
+            voxel_size=tuple(float(v) for v in dataset.voxel_size),
+            grid_size=tuple(int(v) for v in dataset.grid_size),
+            num_point_features=dataset.point_feature_encoder.num_point_features,
+            max_voxels=int(dataset.data_processor.max_voxels),
+            max_points_per_voxel=int(dataset.data_processor.max_points_per_voxel),
+        )
+
+
+class Detector3D(nn.Module):
+    model_cfg: dict
+    num_class: int
+    meta: DatasetMeta
+    num_anchors_per_location: int = 1
+    code_size: int = 7
+    feature_map_size: tuple = (0, 0)
+
+    def _voxelize(self, batch_dict):
+        def one(points, mask):
+            return voxelize(
+                points,
+                mask,
+                self.meta.voxel_size,
+                self.meta.point_cloud_range,
+                grid_size=self.meta.grid_size,
+                max_voxels=self.meta.max_voxels,
+                max_points_per_voxel=self.meta.max_points_per_voxel,
+            )
+
+        out = jax.vmap(one)(batch_dict["points"], batch_dict["points_mask"])
+        batch_dict.update(out)
+        return batch_dict
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        cfg = self.model_cfg
+        batch_dict = dict(batch_dict)
+        batch_dict.setdefault("batch_size", batch_dict["points"].shape[0])
+        if "voxels" not in batch_dict:
+            batch_dict = self._voxelize(batch_dict)
+
+        if cfg.get("VFE", None) is not None:
+            vfe_cls = vfe_modules[cfg["VFE"]["NAME"]]
+            kwargs = dict(model_cfg=cfg["VFE"], num_point_features=self.meta.num_point_features)
+            if cfg["VFE"]["NAME"] == "PillarVFE":
+                kwargs.update(
+                    voxel_size=self.meta.voxel_size,
+                    point_cloud_range=self.meta.point_cloud_range,
+                )
+            batch_dict = vfe_cls(name="vfe", **kwargs)(batch_dict, training=training)
+            if "pillar_features" not in batch_dict and "voxel_features" in batch_dict:
+                batch_dict["pillar_features"] = batch_dict["voxel_features"]
+
+        if cfg.get("BACKBONE_3D", None) is not None:
+            from ..backbones_3d import __all__ as backbones_3d
+
+            bb = backbones_3d[cfg["BACKBONE_3D"]["NAME"]](
+                model_cfg=cfg["BACKBONE_3D"],
+                input_channels=self.meta.num_point_features,
+                grid_size=self.meta.grid_size,
+                name="backbone_3d",
+            )
+            batch_dict = bb(batch_dict, training=training)
+
+        if cfg.get("MAP_TO_BEV", None) is not None:
+            m2b_name = cfg["MAP_TO_BEV"]["NAME"]
+            m2b_cls = map_to_bev_modules[m2b_name]
+            kwargs = dict(model_cfg=cfg["MAP_TO_BEV"])
+            if m2b_name == "PointPillarScatter":
+                kwargs["grid_size"] = self.meta.grid_size
+            batch_dict = m2b_cls(name="map_to_bev", **kwargs)(batch_dict, training=training)
+
+        if cfg.get("BACKBONE_2D", None) is not None:
+            batch_dict = bev_backbones[cfg["BACKBONE_2D"]["NAME"]](
+                model_cfg=cfg["BACKBONE_2D"],
+                input_channels=batch_dict["spatial_features"].shape[-1],
+                name="backbone_2d",
+            )(batch_dict, training=training)
+
+        if cfg.get("DENSE_HEAD", None) is not None:
+            head_name = cfg["DENSE_HEAD"]["NAME"]
+            head_cls = dense_heads[head_name]
+            if head_name == "AnchorHeadSingle":
+                head = head_cls(
+                    model_cfg=cfg["DENSE_HEAD"],
+                    input_channels=batch_dict["spatial_features_2d"].shape[-1],
+                    num_class=self.num_class,
+                    num_anchors_per_location=self.num_anchors_per_location,
+                    code_size=self.code_size,
+                    feature_map_size=self.feature_map_size,
+                    name="dense_head",
+                )
+            else:  # CenterHead
+                head = head_cls(
+                    model_cfg=cfg["DENSE_HEAD"],
+                    input_channels=batch_dict["spatial_features_2d"].shape[-1],
+                    num_class=self.num_class,
+                    class_names=self.meta.class_names,
+                    grid_size=self.meta.grid_size,
+                    point_cloud_range=self.meta.point_cloud_range,
+                    voxel_size=self.meta.voxel_size,
+                    name="dense_head",
+                )
+            batch_dict = head(batch_dict, training=training)
+        return batch_dict
+
+
+class DetectorBundle:
+    """Functional surface over a Detector3D: init / loss / predict.
+
+    The analog of the reference's built network object + model_fn_decorator
+    (pcdet/models/__init__.py:16-125), reorganized as pure functions suitable for
+    jax.jit / jax.grad.
+    """
+
+    def __init__(self, model_cfg, num_class, dataset):
+        self.model_cfg = model_cfg
+        self.num_class = num_class
+        self.meta = DatasetMeta.from_dataset(dataset)
+        self.dense_head_name = (
+            model_cfg["DENSE_HEAD"]["NAME"] if model_cfg.get("DENSE_HEAD") else None
+        )
+
+        self.anchors = None
+        self.assigner = None
+        num_anchors_per_loc, fmap = 1, (0, 0)
+        code_size = 7
+        if self.dense_head_name == "AnchorHeadSingle":
+            gen = AnchorGenerator(
+                model_cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"],
+                self.meta.point_cloud_range,
+                self.meta.grid_size,
+            )
+            anchors, anchor_cls, m_thr, u_thr, fmap, num_anchors_per_loc = gen.generate()
+            self.box_coder = ResidualCoder(code_size=7)
+            code_size = self.box_coder.code_size
+            self.anchors = jnp.asarray(anchors)
+            self.assigner = AxisAlignedTargetAssigner(
+                anchors, anchor_cls, m_thr, u_thr, self.box_coder
+            )
+        else:
+            self.box_coder = None
+
+        self.module = Detector3D(
+            model_cfg=model_cfg,
+            num_class=num_class,
+            meta=self.meta,
+            num_anchors_per_location=num_anchors_per_loc,
+            code_size=code_size,
+            feature_map_size=tuple(fmap),
+        )
+        self.post_cfg = model_cfg.get("POST_PROCESSING", {})
+
+    # -- lifecycle -----------------------------------------------------------
+    def init(self, rng, example_batch):
+        return self.module.init(rng, example_batch, training=True)
+
+    # -- training ------------------------------------------------------------
+    def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):
+        """Returns ((loss, (tb_dict, new_model_state)) pure function."""
+        out, new_state = self.module.apply(
+            variables, batch_dict, training=training, mutable=list(mutable)
+        )
+        if self.dense_head_name == "AnchorHeadSingle":
+            targets = self.assigner.assign(batch_dict["gt_boxes"])
+            total, tb = anchor_head_loss(
+                out, targets, self.anchors, self.model_cfg["DENSE_HEAD"],
+                self.num_class, self.box_coder,
+            )
+        elif self.dense_head_name == "CenterHead":
+            total, tb = self._center_head_helper().get_loss(out, batch_dict["gt_boxes"])
+        else:
+            raise NotImplementedError(self.dense_head_name)
+        return total, (tb, new_state)
+
+    # -- inference -----------------------------------------------------------
+    def predict(self, variables, batch_dict):
+        """Forward + decode + NMS -> dict of (B, K) final detections."""
+        out = self.module.apply(variables, batch_dict, training=False)
+        return self.post_processing(out)
+
+    def post_processing(self, out):
+        """Reference detector3d_template.post_processing (:178-328), static-K."""
+        cfg = self.post_cfg
+        nms_cfg = cfg.get("NMS_CONFIG", {})
+        score_thresh = cfg.get("SCORE_THRESH", 0.1)
+        pre_max = int(nms_cfg.get("NMS_PRE_MAXSIZE", 1024))
+        post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 128))
+        nms_thresh = float(nms_cfg.get("NMS_THRESH", 0.2))
+
+        if self.dense_head_name == "AnchorHeadSingle":
+            cls_logits, box_preds = generate_predicted_boxes(
+                out, self.anchors, self.model_cfg["DENSE_HEAD"], self.box_coder
+            )
+            scores_all = jax.nn.sigmoid(cls_logits)  # (B, N, nc)
+            scores = scores_all.max(axis=-1)
+            labels = scores_all.argmax(axis=-1) + 1
+        else:  # CenterHead
+            box_preds, scores, labels = self._center_decode(out)
+
+        def one(boxes, sc, lb):
+            idx, mask = class_agnostic_nms(
+                sc, boxes[:, :7], score_thresh=score_thresh, nms_thresh=nms_thresh,
+                pre_maxsize=pre_max, post_maxsize=post_max,
+            )
+            return {
+                "pred_boxes": boxes[idx],
+                "pred_scores": sc[idx] * mask,
+                "pred_labels": lb[idx] * mask,
+                "pred_mask": mask,
+            }
+
+        return jax.vmap(one)(box_preds, scores, labels)
+
+    def _center_head_helper(self):
+        """A detached CenterHead: target assignment and decode are pure functions
+        of the forward outputs + static cfg — no flax params involved."""
+        from ..dense_heads.center_head import CenterHead
+
+        return CenterHead(
+            model_cfg=self.model_cfg["DENSE_HEAD"],
+            input_channels=0,
+            num_class=self.num_class,
+            class_names=self.meta.class_names,
+            grid_size=self.meta.grid_size,
+            point_cloud_range=self.meta.point_cloud_range,
+            voxel_size=self.meta.voxel_size,
+        )
+
+    def _center_decode(self, out):
+        max_obj = int(self.post_cfg.get("MAX_OBJ_PER_SAMPLE", 128))
+        return self._center_head_helper().generate_predicted_boxes(out, max_obj=max_obj)
+
+
+def build_detector(model_cfg, num_class, dataset):
+    return DetectorBundle(model_cfg=model_cfg, num_class=num_class, dataset=dataset)
