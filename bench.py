@@ -1,0 +1,99 @@
+"""Benchmark: SECOND-style voxel detector, voxelize + forward + backward, on-chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: nuScenes-scale synthetic scans — point cloud range [-51.2, 51.2] x
+[-5, 3], voxel (0.1, 0.1, 0.2) -> 1024x1024x40 grid, 60k voxel cap, batch 4 —
+through the full jitted train step (on-device voxelization, sparse VoxelBackBone8x,
+BEV backbone, anchor head, loss, backward, optimizer update).
+
+Baseline: the driver north star is ">=2x A100 scans/sec/chip for SECOND fwd+bwd"
+(BASELINE.md). pcdet SECOND on nuScenes trains around ~20 scans/s on one A100
+(bs4, public training logs), so the 2x target is ~40 scans/s; vs_baseline reports
+measured/40.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+TARGET_SCANS_PER_SEC = 40.0  # 2x A100 north-star (see module docstring)
+
+
+def build_bench(batch_size=4):
+    import jax.numpy as jnp
+
+    from toda_tpu.config import EDict, cfg_from_yaml_file
+    from toda_tpu.datasets import build_dataloader
+    from toda_tpu.models import build_network
+    from toda_tpu.runtime.train_utils import create_train_state, make_train_step
+
+    root = Path(__file__).resolve().parent
+    cfg = cfg_from_yaml_file(
+        str(root / "tools/cfgs/synthetic_models/second_synthetic.yaml"), EDict()
+    )
+    # nuScenes scale
+    cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+    cfg.DATA_CONFIG.DATA_PROCESSOR[2].NUM_POINTS = {"train": 131072, "test": 131072}
+    cfg.DATA_CONFIG.DATA_PROCESSOR[3].VOXEL_SIZE = [0.1, 0.1, 0.2]
+    cfg.DATA_CONFIG.DATA_PROCESSOR[3].MAX_POINTS_PER_VOXEL = 5
+    cfg.DATA_CONFIG.DATA_PROCESSOR[3].MAX_NUMBER_OF_VOXELS = {"train": 60000, "test": 60000}
+    cfg.DATA_CONFIG.NUM_BACKGROUND_POINTS = 100000
+    cfg.DATA_CONFIG.NUM_OBJECTS = [20, 40]
+    cfg.DATA_CONFIG.NUM_SCENES = batch_size
+    cfg.DATA_CONFIG.MAX_GT_BOXES = 64
+
+    np.random.seed(0)
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    batch = next(iter(loader))
+    arrays = {
+        "points": jnp.asarray(batch["points"]),
+        "points_mask": jnp.asarray(batch["points_mask"]),
+        "gt_boxes": jnp.asarray(batch["gt_boxes"]),
+    }
+    state, _ = create_train_state(bundle, cfg.OPTIMIZATION, total_steps=100,
+                                  example_batch=batch)
+    step = make_train_step(bundle)
+    return step, state, arrays, batch_size
+
+
+def main():
+    import jax
+
+    batch_size = 4
+    step, state, arrays, batch_size = build_bench(batch_size)
+
+    # warmup / compile
+    state, tb = step(state, arrays)
+    jax.block_until_ready(tb["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        state, tb = step(state, arrays)
+    jax.block_until_ready(tb["loss"])
+    dt = time.time() - t0
+    scans_per_sec = iters * batch_size / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "second_voxelize_fwd_bwd_scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / TARGET_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -206,7 +206,10 @@ class DetectorBundle:
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, rng, example_batch):
-        return self.module.init(rng, example_batch, training=True)
+        # jit the whole init: un-jitted tracing executes each op individually on
+        # device (catastrophically slow over a remote-compile TPU tunnel)
+        init_fn = jax.jit(lambda rng, batch: self.module.init(rng, batch, training=True))
+        return init_fn(rng, example_batch)
 
     # -- training ------------------------------------------------------------
     def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):

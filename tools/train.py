@@ -1,0 +1,122 @@
+"""Training entry point.
+
+Reference CLI surface: tools/train.py (202 LoC): --cfg_file, --batch_size,
+--epochs, --extra_tag, --ckpt, --pretrained_model, auto-resume from the newest
+checkpoint, output/<exp_group>/<tag>/<extra_tag> run-dir convention, cfg dump into
+the log. Distributed launch is jax-native: one process per host,
+jax.distributed.initialize via --num_processes/--process_id (the analog of the
+torchrun/SLURM launchers, scripts/dist_train.sh).
+"""
+
+import argparse
+import datetime
+import shutil
+from pathlib import Path
+
+import _init_path  # noqa: F401
+import numpy as np
+
+from toda_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
+from toda_tpu.datasets import build_dataloader
+from toda_tpu.models import build_network
+from toda_tpu.parallel import get_dist_info, init_distributed
+from toda_tpu.runtime import checkpoint as ckpt_lib
+from toda_tpu.runtime.eval_utils import eval_one_epoch
+from toda_tpu.runtime.train_utils import create_train_state, train_model
+from toda_tpu.utils import common_utils
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="toda_tpu trainer")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None, help="global batch size")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None, help="resume checkpoint")
+    parser.add_argument("--pretrained_model", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--eval_after_train", action="store_true")
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, _ = parse_config()
+    init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+    rank, world = get_dist_info()
+    dist = world > 1
+
+    if args.fix_random_seed:
+        common_utils.set_random_seed(666)
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    if dist:
+        assert batch_size % world == 0, "global batch size must divide world size"
+        batch_size = batch_size // world
+    epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = cfg.ROOT_DIR / "output" / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    log_file = output_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
+    logger = common_utils.create_logger(log_file, rank=rank)
+    logger.info("********** Start logging **********")
+    log_config_to_file(cfg, logger=logger)
+    if rank == 0:
+        shutil.copyfile(args.cfg_file, output_dir / Path(args.cfg_file).name)
+
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
+        dist=dist, training=True, logger=logger,
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    total_steps = len(loader) * epochs
+    example = next(iter(loader))
+    state, schedule = create_train_state(bundle, cfg.OPTIMIZATION, total_steps, example)
+
+    start_epoch = 0
+    if args.pretrained_model:
+        state = ckpt_lib.load_params_only(args.pretrained_model, state)
+        logger.info("loaded pretrained model from %s", args.pretrained_model)
+    resume_from = args.ckpt or ckpt_lib.latest_checkpoint(ckpt_dir)
+    if resume_from:
+        state, start_epoch = ckpt_lib.load_checkpoint(resume_from, state)
+        logger.info("resumed from %s (epoch %d)", resume_from, start_epoch)
+
+    logger.info("********** Start training (epochs %d->%d) **********", start_epoch, epochs)
+    state = train_model(
+        bundle, state, loader, cfg.OPTIMIZATION,
+        start_epoch=start_epoch, total_epochs=epochs,
+        ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
+    )
+    logger.info("********** Training done **********")
+
+    if args.eval_after_train:
+        eval_ds, eval_loader, _ = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
+            dist=dist, training=False, logger=logger,
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        result, _ = eval_one_epoch(
+            bundle, variables, eval_loader, eval_ds, cfg.CLASS_NAMES, logger=logger,
+            result_dir=output_dir / "eval",
+        )
+        logger.info("eval result: %s", result)
+
+
+if __name__ == "__main__":
+    main()
