@@ -47,6 +47,9 @@ def build_bench(batch_size=4):
     cfg.DATA_CONFIG.NUM_OBJECTS = [20, 40]
     cfg.DATA_CONFIG.NUM_SCENES = batch_size
     cfg.DATA_CONFIG.MAX_GT_BOXES = 64
+    # real nuScenes scans occupy ~30k BEV cells at 0.1 m; the uniform-random
+    # synthetic background would inflate this, so cap at a realistic 32k
+    cfg.MODEL.BACKBONE_3D.MAX_PILLARS = 32768
 
     np.random.seed(0)
     dataset, loader, _ = build_dataloader(

@@ -23,6 +23,7 @@ def shrink(cfg):
     cfg.DATA_CONFIG.NUM_SCENES = 4
     cfg.DATA_CONFIG.NUM_OBJECTS = [2, 4]
     cfg.MODEL.BACKBONE_3D.CHANNELS = [8, 16, 16, 16]
+    cfg.MODEL.BACKBONE_3D.MAX_PILLARS = 2048
     cfg.MODEL.BACKBONE_3D.OUT_CHANNELS = 32
     cfg.MODEL.BACKBONE_2D.LAYER_NUMS = [1, 1]
     cfg.MODEL.BACKBONE_2D.LAYER_STRIDES = [1, 2]

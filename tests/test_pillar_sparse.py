@@ -1,0 +1,117 @@
+"""Pillar-sparse (BEV-sparse, z-dense) conv vs dense 3D conv golden tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from toda_tpu.ops.pillar_sparse import (
+    bev_downsample_sites,
+    bev_neighbor_idx,
+    build_bev_map,
+    pillar_conv3d,
+    pillars_to_dense,
+    voxelize_pillars,
+)
+
+NY, NX, NZ = 10, 12, 8
+
+
+def random_pillars(rng, p_cap=32, c=4, n=18):
+    flat = rng.choice(NY * NX, size=n, replace=False)
+    coords = np.stack([flat // NX, flat % NX], 1).astype(np.int32)
+    order = np.argsort(coords[:, 0] * NX + coords[:, 1])
+    coords = coords[order]
+    coords = np.concatenate([coords, -np.ones((p_cap - n, 2), np.int32)])
+    mask = np.zeros(p_cap, bool)
+    mask[:n] = True
+    feats = rng.randn(p_cap, NZ, c).astype(np.float32) * mask[:, None, None]
+    return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask)
+
+
+def dense_golden(feats, coords, mask, w, strides=(1, 1, 1)):
+    dense = pillars_to_dense(feats, coords, mask, (NY, NX))  # (NY, NX, NZ, C)
+    x = jnp.transpose(dense, (2, 0, 1, 3))[None]  # (1, NZ, NY, NX, C)
+    wk = jnp.asarray(w)  # (3,3,3,C,Cout) dz,dy,dx
+    out = jax.lax.conv_general_dilated(
+        x, wk.reshape(3, 3, 3, w.shape[3], w.shape[4]),
+        window_strides=strides, padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out[0]  # (NZ', NY', NX', Cout)
+
+
+def test_pillar_conv_matches_dense(rng):
+    feats, coords, mask = random_pillars(rng)
+    w = (rng.randn(3, 3, 3, 4, 6) * 0.2).astype(np.float32)
+    bmap = build_bev_map(coords, mask, (NY, NX))
+    nbr = bev_neighbor_idx(coords, mask, bmap, (NY, NX), 1)
+    out = np.asarray(pillar_conv3d(feats, nbr, jnp.asarray(w), mask))
+    golden = np.asarray(dense_golden(feats, coords, mask, w))  # (NZ, NY, NX, 6)
+    cc, mm = np.asarray(coords), np.asarray(mask)
+    for i in range(len(cc)):
+        if mm[i]:
+            np.testing.assert_allclose(
+                out[i], golden[:, cc[i, 0], cc[i, 1], :], atol=1e-4,
+            )
+
+
+def test_pillar_conv_strided_matches_dense(rng):
+    feats, coords, mask = random_pillars(rng)
+    w = (rng.randn(3, 3, 3, 4, 5) * 0.2).astype(np.float32)
+    oc, om = bev_downsample_sites(coords, mask, 2, 16, (NY, NX))
+    bmap = build_bev_map(coords, mask, (NY, NX))
+    nbr = bev_neighbor_idx(oc, om, bmap, (NY, NX), 2)
+    out = np.asarray(pillar_conv3d(feats, nbr, jnp.asarray(w), om, z_stride=2))
+    golden = np.asarray(dense_golden(feats, coords, mask, w, strides=(2, 2, 2)))
+    occ, omm = np.asarray(oc), np.asarray(om)
+    for i in range(len(occ)):
+        if omm[i]:
+            np.testing.assert_allclose(
+                out[i], golden[:, occ[i, 0], occ[i, 1], :], atol=1e-4,
+            )
+
+
+def test_downsample_sites(rng):
+    feats, coords, mask = random_pillars(rng)
+    oc, om = bev_downsample_sites(coords, mask, 2, 16, (NY, NX))
+    want = {tuple(c // 2) for c in np.asarray(coords)[np.asarray(mask)]}
+    got = {tuple(c) for c in np.asarray(oc)[np.asarray(om)]}
+    assert got == want
+
+
+def test_voxelize_pillars_mean(rng):
+    pts = rng.uniform(0, 4, (300, 4)).astype(np.float32)
+    pts[:, 1] = rng.uniform(-2, 2, 300)
+    pts[:, 2] = rng.uniform(-1, 1, 300)
+    mask = rng.rand(300) > 0.1
+    out = voxelize_pillars(
+        jnp.asarray(pts), jnp.asarray(mask), (0.5, 0.5, 0.25),
+        (0.0, -2.0, -1.0, 4.0, 2.0, 1.0), grid_size=(8, 8, 8),
+        max_pillars=64, nz=8,
+    )
+    feats = np.asarray(out["pillar_features"])
+    coords = np.asarray(out["pillar_coords"])
+    counts = np.asarray(out["cell_counts"])
+    pmask = np.asarray(out["pillar_mask"])
+    # golden: group points by (y, x, z)
+    cells = {}
+    for i, p in enumerate(pts):
+        if not mask[i]:
+            continue
+        ijk = np.floor((p[:3] - np.array([0.0, -2.0, -1.0])) / np.array([0.5, 0.5, 0.25])).astype(int)
+        if (ijk < 0).any() or (ijk >= 8).any():
+            continue
+        cells.setdefault((ijk[1], ijk[0], ijk[2]), []).append(p)  # (y, x, z)
+    got_cols = {tuple(c) for c in coords[pmask]}
+    want_cols = {(y, x) for (y, x, z) in cells}
+    assert got_cols == want_cols
+    slot = {tuple(c): i for i, c in enumerate(coords) if pmask[i]}
+    for (y, x, z), plist in cells.items():
+        i = slot[(y, x)]
+        assert counts[i, z] == len(plist)
+        np.testing.assert_allclose(feats[i, z], np.mean(plist, axis=0), atol=1e-5)
+    # empty cells are zero
+    for i in range(64):
+        if pmask[i]:
+            empty = counts[i] == 0
+            assert (feats[i][empty] == 0).all()

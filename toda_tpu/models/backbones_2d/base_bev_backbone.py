@@ -32,11 +32,13 @@ class BaseBEVBackbone(nn.Module):
         upsample_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
         num_upsample_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
 
+        cdtype = x.dtype  # bf16 in, bf16 compute; params stay f32
+
         def conv_bn_relu(x, ch, stride, name):
             x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
-                        use_bias=False, name=f"{name}_conv")(x)
+                        use_bias=False, dtype=cdtype, name=f"{name}_conv")(x)
             x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                             epsilon=1e-3, name=f"{name}_bn")(x)
+                             epsilon=1e-3, dtype=cdtype, name=f"{name}_bn")(x)
             return nn.relu(x)
 
         ups = []
@@ -49,14 +51,15 @@ class BaseBEVBackbone(nn.Module):
                 if stride >= 1:
                     u = nn.ConvTranspose(
                         num_upsample_filters[i], (stride, stride),
-                        strides=(stride, stride), use_bias=False, name=f"deblock{i}_deconv"
+                        strides=(stride, stride), use_bias=False, dtype=cdtype,
+                        name=f"deblock{i}_deconv"
                     )(x)
                 else:
                     s = int(round(1 / stride))
                     u = nn.Conv(num_upsample_filters[i], (s, s), strides=(s, s),
-                                use_bias=False, name=f"deblock{i}_conv")(x)
+                                use_bias=False, dtype=cdtype, name=f"deblock{i}_conv")(x)
                 u = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                                 epsilon=1e-3, name=f"deblock{i}_bn")(u)
+                                 epsilon=1e-3, dtype=cdtype, name=f"deblock{i}_bn")(u)
                 ups.append(nn.relu(u))
             else:
                 ups.append(x)
@@ -69,11 +72,12 @@ class BaseBEVBackbone(nn.Module):
         if len(upsample_strides) > len(layer_nums):
             stride = upsample_strides[-1]
             x = nn.ConvTranspose(num_upsample_filters[-1], (stride, stride),
-                                 strides=(stride, stride), use_bias=False,
+                                 strides=(stride, stride), use_bias=False, dtype=cdtype,
                                  name="final_deconv")(x)
             x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                             epsilon=1e-3, name="final_bn")(x)
+                             epsilon=1e-3, dtype=cdtype, name="final_bn")(x)
             x = nn.relu(x)
 
-        batch_dict["spatial_features_2d"] = x
+        # heads and losses run in f32 regardless of backbone compute dtype
+        batch_dict["spatial_features_2d"] = x.astype(jnp.float32)
         return batch_dict

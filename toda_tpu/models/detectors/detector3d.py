@@ -86,13 +86,17 @@ class Detector3D(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, training=False):
+        from ..backbones_3d import POINT_CONSUMING
+
         cfg = self.model_cfg
         batch_dict = dict(batch_dict)
         batch_dict.setdefault("batch_size", batch_dict["points"].shape[0])
-        if "voxels" not in batch_dict:
+        bb3d_name = cfg.get("BACKBONE_3D", {}).get("NAME") if cfg.get("BACKBONE_3D") else None
+        skip_voxelize = bb3d_name in POINT_CONSUMING
+        if "voxels" not in batch_dict and not skip_voxelize:
             batch_dict = self._voxelize(batch_dict)
 
-        if cfg.get("VFE", None) is not None:
+        if cfg.get("VFE", None) is not None and not skip_voxelize:
             vfe_cls = vfe_modules[cfg["VFE"]["NAME"]]
             kwargs = dict(model_cfg=cfg["VFE"], num_point_features=self.meta.num_point_features)
             if cfg["VFE"]["NAME"] == "PillarVFE":
@@ -107,12 +111,17 @@ class Detector3D(nn.Module):
         if cfg.get("BACKBONE_3D", None) is not None:
             from ..backbones_3d import __all__ as backbones_3d
 
-            bb = backbones_3d[cfg["BACKBONE_3D"]["NAME"]](
+            kwargs = dict(
                 model_cfg=cfg["BACKBONE_3D"],
                 input_channels=self.meta.num_point_features,
                 grid_size=self.meta.grid_size,
-                name="backbone_3d",
             )
+            if bb3d_name in POINT_CONSUMING:
+                kwargs.update(
+                    voxel_size=self.meta.voxel_size,
+                    point_cloud_range=self.meta.point_cloud_range,
+                )
+            bb = backbones_3d[bb3d_name](name="backbone_3d", **kwargs)
             batch_dict = bb(batch_dict, training=training)
 
         if cfg.get("MAP_TO_BEV", None) is not None:

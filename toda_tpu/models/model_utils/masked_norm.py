@@ -23,15 +23,17 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
         if training:
-            w = mask.astype(x.dtype)[..., None]
+            w = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(w.sum(), 1.0)
-            mean = (x * w).sum(axis=tuple(range(x.ndim - 1))) / n
-            var = (((x - mean) ** 2) * w).sum(axis=tuple(range(x.ndim - 1))) / n
+            mean = (xf * w).sum(axis=tuple(range(x.ndim - 1))) / n
+            var = (((xf - mean) ** 2) * w).sum(axis=tuple(range(x.ndim - 1))) / n
             ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0).astype(in_dtype)
