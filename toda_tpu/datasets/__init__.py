@@ -74,13 +74,17 @@ class DataLoader:
             yield self.dataset.collate_batch(samples)
 
 
-def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logger=None):
+def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logger=None, **kwargs):
     name = dataset_cfg.DATASET
     if name == "SyntheticDataset":
         cls = SyntheticDataset
     elif name == "NuScenesDataset":
         _register_lazy()
         cls = __all__["NuScenesDataset"]
+    elif name == "CutMixDataset":
+        from .mix_dataset import CutMixDataset as cls
+    elif name == "MixUpDataset":
+        from .mix_dataset import MixUpDataset as cls
     else:
         raise KeyError(f"unknown dataset: {name}")
     return cls(
@@ -89,15 +93,20 @@ def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logge
         training=training,
         root_path=root_path,
         logger=logger,
+        **kwargs,
     )
 
 
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,
-                     workers=0, logger=None, training=True, seed=0, total_epochs=0):
+                     workers=0, logger=None, training=True, seed=0, total_epochs=0,
+                     dataset=None, **dataset_kwargs):
     """Returns (dataset, dataloader, sampler_like) mirroring the reference tuple."""
     import jax
 
-    dataset = build_dataset(dataset_cfg, class_names, training, root_path, logger)
+    if dataset is None:
+        dataset = build_dataset(
+            dataset_cfg, class_names, training, root_path, logger, **dataset_kwargs
+        )
     rank = jax.process_index() if dist else 0
     world = jax.process_count() if dist else 1
     loader = DataLoader(
@@ -110,3 +119,20 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path
         seed=seed,
     )
     return dataset, loader, loader
+
+
+def build_cutmix_dataloader(dataset_cfg, class_names, batch_size, **kwargs):
+    """Stage-1 loader (reference pcdet/datasets/__init__.py build_cutmix_dataloader)."""
+    return build_dataloader(dataset_cfg, class_names, batch_size, **kwargs)
+
+
+def build_mixup_dataloader(dataset_cfg, class_names, batch_size, pseudo_infos=None, **kwargs):
+    """Stage-2 loader (reference build_mixup_dataloader with pseudo_info_path)."""
+    import pickle
+
+    if isinstance(pseudo_infos, (str, bytes)):
+        with open(pseudo_infos, "rb") as f:
+            pseudo_infos = pickle.load(f)
+    return build_dataloader(
+        dataset_cfg, class_names, batch_size, pseudo_infos=pseudo_infos, **kwargs
+    )

@@ -103,6 +103,29 @@ class DatasetTemplate:
 
         return self.pad_to_static(data_dict)
 
+    AUG_VECTOR_KEYS = (
+        "random_world_flip_x", "random_world_flip_y", "random_world_rotation",
+        "random_world_scaling",
+    )
+
+    def aug_vector(self, aug_params):
+        """Encode recorded world-aug params as a fixed (7,) vector
+        [flip_x, flip_y, rot, scale, tx, ty, tz] so the jitted consistency loss
+        can reverse transforms (stage-2 CL; reference reverse_transform)."""
+        vec = np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float32)
+        for name, p in aug_params or []:
+            if name == "random_world_flip_x":
+                vec[0] = float(bool(p))
+            elif name == "random_world_flip_y":
+                vec[1] = float(bool(p))
+            elif name == "random_world_rotation":
+                vec[2] = float(p)
+            elif name == "random_world_scaling":
+                vec[3] = float(p)
+            elif name == "random_world_translation":
+                vec[4:7] = np.asarray(p, dtype=np.float32)
+        return vec
+
     def pad_to_static(self, data_dict):
         points = np.asarray(data_dict["points"], dtype=np.float32)
         n = len(points)
@@ -114,6 +137,8 @@ class DatasetTemplate:
             data_dict["gt_boxes"] = common_utils.pad_to(
                 np.asarray(data_dict["gt_boxes"], dtype=np.float32), self.max_gt_boxes
             )
+        if "augmentation_params" in data_dict:
+            data_dict["aug_vector"] = self.aug_vector(data_dict["augmentation_params"])
         data_dict.pop("gt_names", None)
         data_dict.pop("use_lead_xyz", None)
         return data_dict

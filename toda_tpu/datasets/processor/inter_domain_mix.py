@@ -1,0 +1,225 @@
+"""Inter-domain point-cloud mixing (stage 1 of TODA) — host numpy transforms.
+
+Reference semantics (re-derived, not translated):
+  * CutMix   — pcdet/datasets/processor/inter_domain_point_cutmix.py:10-90:
+    swap an aspect-checked XY window (centered on a random source point) between
+    a source and a target scene, retrying until the window holds enough points.
+  * PolarMix — inter_domain_point_polarmix.py:44-301: swap an azimuth sector
+    (with box-inclusion rules) and rotate-paste target instances, with BEV-IoU
+    dedup; the sector width follows a curriculum schedule driven by
+    ``train_percent`` (fed each iteration by the train loop).
+  * LaserMix — inter_domain_point_lasermix.py:22-195: interleave pitch rings
+    (spherical) or yaw x range cells (cylindrical) between the two domains.
+  * PseudoMix — inter_domain_point_pseudomix.py:19-68: paste target boxes+points
+    into the source scene (pseudobbox) or source foreground objects onto the
+    target background (pseudobackground).
+
+All functions take/return plain numpy (points, gt_boxes, gt_names) triples and
+never mutate inputs. Each accepts an ``rng`` for determinism in tests.
+"""
+
+import numpy as np
+
+from ...utils import box_utils
+
+
+def _angles(points):
+    return np.arctan2(points[:, 1], points[:, 0])
+
+
+def _pitch(points):
+    rho = np.linalg.norm(points[:, :2], axis=1)
+    return np.arctan2(points[:, 2], rho)
+
+
+def _split(points, boxes, names, point_mask, box_mask):
+    return points[point_mask], boxes[box_mask], names[box_mask]
+
+
+def cutmix(src, tgt, min_points=1024, scale_range=(0.5, 1.0), max_tries=10, rng=None):
+    """Swap an XY window between source and target scenes.
+
+    src/tgt: dicts with points (N, C), gt_boxes (M, 7+), gt_names (M,).
+    Returns (mixed_src_view, mixed_tgt_view) — here only the source-frame mix is
+    used downstream (reference keeps the source scene with the target window).
+    """
+    rng = rng or np.random
+    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
+    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+    span = np.abs(sp[:, :2]).max(axis=0) if len(sp) else np.array([50.0, 50.0])
+
+    for _ in range(max_tries):
+        center = sp[rng.randint(len(sp)), :2] if len(sp) else np.zeros(2)
+        scale = rng.uniform(*scale_range)
+        half = span * scale / 2.0
+        # aspect check: reject degenerate slivers
+        if half.min() < 1e-2 or half.max() / max(half.min(), 1e-6) > 20:
+            continue
+        lo, hi = center - half, center + half
+
+        def in_window(pts):
+            return (
+                (pts[:, 0] >= lo[0]) & (pts[:, 0] <= hi[0])
+                & (pts[:, 1] >= lo[1]) & (pts[:, 1] <= hi[1])
+            )
+
+        t_in = in_window(tp)
+        if t_in.sum() < min_points:
+            continue
+        s_in = in_window(sp)
+        sb_in = in_window(sb) if len(sb) else np.zeros(0, bool)
+        tb_in = in_window(tb) if len(tb) else np.zeros(0, bool)
+
+        mixed_points = np.concatenate([sp[~s_in], tp[t_in]])
+        mixed_boxes = np.concatenate([sb[~sb_in], tb[tb_in]]) if len(sb) or len(tb) else sb
+        mixed_names = np.concatenate([sn[~sb_in], tn[tb_in]])
+        return {
+            "points": mixed_points, "gt_boxes": mixed_boxes, "gt_names": mixed_names,
+        }
+    return dict(points=sp, gt_boxes=sb, gt_names=sn)
+
+
+def _sector_width_schedule(method, train_percent, base=np.pi / 3, rng=None):
+    """Curriculum sector width (reference FIX|RAND|ASC|ASC_SIG|DESC over
+    train_percent, inter_domain_point_polarmix.py:44-90)."""
+    rng = rng or np.random
+    t = float(np.clip(train_percent, 0.0, 1.0))
+    if method == "FIX":
+        return base
+    if method == "RAND":
+        return rng.uniform(np.pi / 6, np.pi)
+    if method == "ASC":
+        return np.pi / 6 + t * (np.pi - np.pi / 6)
+    if method == "ASC_SIG":
+        sig = 1.0 / (1.0 + np.exp(-10 * (t - 0.5)))
+        return np.pi / 6 + sig * (np.pi - np.pi / 6)
+    if method == "DESC":
+        return np.pi - t * (np.pi - np.pi / 6)
+    return base
+
+
+def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=True,
+             paste_rotations=(np.pi / 2,), rng=None):
+    """Azimuth-sector swap + instance rotate-paste."""
+    rng = rng or np.random
+    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
+    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+
+    width = _sector_width_schedule(width_method, train_percent, rng=rng)
+    start = rng.uniform(-np.pi, np.pi)
+
+    def in_sector(ang):
+        rel = (ang - start) % (2 * np.pi)
+        return rel <= width
+
+    s_in = in_sector(_angles(sp))
+    t_in = in_sector(_angles(tp))
+    sb_in = in_sector(np.arctan2(sb[:, 1], sb[:, 0])) if len(sb) else np.zeros(0, bool)
+    tb_in = in_sector(np.arctan2(tb[:, 1], tb[:, 0])) if len(tb) else np.zeros(0, bool)
+
+    points = np.concatenate([sp[~s_in], tp[t_in]])
+    boxes = np.concatenate([sb[~sb_in], tb[tb_in]])
+    names = np.concatenate([sn[~sb_in], tn[tb_in]])
+
+    if instance_paste and len(tb):
+        member = box_utils.points_in_boxes_numpy(tp, tb)
+        for rot in paste_rotations:
+            cos, sin = np.cos(rot), np.sin(rot)
+            rot_mat = np.array([[cos, -sin], [sin, cos]])
+            new_boxes, new_names, new_points = [], [], []
+            for j in range(len(tb)):
+                box = tb[j].copy()
+                box[:2] = rot_mat @ box[:2]
+                box[6] += rot
+                if box.shape[0] > 8:
+                    box[7:9] = rot_mat @ box[7:9]
+                if len(boxes):
+                    iou = box_utils.boxes3d_nearest_bev_iou(box[None, :7], boxes[:, :7])
+                    if iou.max() > 1e-2:
+                        continue
+                obj = tp[member[j]].copy()
+                obj[:, :2] = obj[:, :2] @ rot_mat.T
+                new_boxes.append(box[None])
+                new_names.append(tn[j])
+                new_points.append(obj)
+            if new_boxes:
+                boxes = np.concatenate([boxes] + new_boxes)
+                names = np.concatenate([names, np.asarray(new_names)])
+                points = np.concatenate([points] + new_points)
+    return {"points": points, "gt_boxes": boxes, "gt_names": names}
+
+
+def lasermix(src, tgt, mode="spherical", num_regions=6, pitch_range=(-0.4, 0.2),
+             range_max=60.0, rng=None):
+    """Interleaved region swap: alternate regions come from alternate domains."""
+    rng = rng or np.random
+    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
+    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+    offset = rng.randint(2)
+
+    if mode == "spherical":
+        edges = np.linspace(pitch_range[0], pitch_range[1], num_regions + 1)
+
+        def region_of(pts):
+            pr = np.clip(_pitch(pts), pitch_range[0], pitch_range[1] - 1e-6)
+            return np.digitize(pr, edges) - 1
+    else:  # cylindrical: yaw x range grid
+        def region_of(pts):
+            a = (_angles(pts) + np.pi) / (2 * np.pi)
+            r = np.clip(np.linalg.norm(pts[:, :2], axis=1) / range_max, 0, 1 - 1e-6)
+            return (np.floor(a * num_regions).astype(int) + np.floor(r * 2).astype(int))
+
+    def take(pts, parity):
+        return region_of(pts) % 2 == parity
+
+    def box_take(boxes, parity):
+        if not len(boxes):
+            return np.zeros(0, bool)
+        return region_of(boxes[:, :3]) % 2 == parity
+
+    points = np.concatenate([sp[take(sp, offset)], tp[take(tp, 1 - offset)]])
+    sm, tm = box_take(sb, offset), box_take(tb, 1 - offset)
+    boxes = np.concatenate([sb[sm], tb[tm]])
+    names = np.concatenate([sn[sm], tn[tm]])
+    return {"points": points, "gt_boxes": boxes, "gt_names": names}
+
+
+def pseudomix(src, tgt, method="pseudobbox", rng=None):
+    """pseudobbox: paste target boxes+points into the source scene.
+    pseudobackground: paste source foreground objects onto target background."""
+    if method == "pseudobbox":
+        scene_p, scene_b, scene_n = src["points"], src["gt_boxes"], src["gt_names"]
+        obj_p, obj_b, obj_n = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+    else:
+        scene_p, scene_b, scene_n = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+        obj_p, obj_b, obj_n = src["points"], src["gt_boxes"], src["gt_names"]
+
+    if not len(obj_b):
+        return {"points": scene_p, "gt_boxes": scene_b, "gt_names": scene_n}
+
+    # non-overlapping subset of donor boxes vs scene boxes
+    if len(scene_b):
+        iou = box_utils.boxes3d_nearest_bev_iou(obj_b[:, :7], scene_b[:, :7])
+        keep = iou.max(axis=1) < 1e-2
+    else:
+        keep = np.ones(len(obj_b), bool)
+    obj_b, obj_n = obj_b[keep], obj_n[keep]
+    if not len(obj_b):
+        return {"points": scene_p, "gt_boxes": scene_b, "gt_names": scene_n}
+
+    member = box_utils.points_in_boxes_numpy(obj_p, obj_b)
+    donor_points = obj_p[member.any(axis=0)]
+    if method == "pseudobackground":
+        # background scene keeps only non-foreground points
+        scene_fg = box_utils.points_in_boxes_numpy(scene_p, scene_b).any(axis=0) if len(scene_b) else np.zeros(len(scene_p), bool)
+        scene_p = scene_p[~scene_fg]
+        scene_b = scene_b[:0]
+        scene_n = scene_n[:0]
+    else:
+        # carve the paste regions out of the scene
+        scene_keep = ~box_utils.points_in_boxes_numpy(scene_p, obj_b).any(axis=0)
+        scene_p = scene_p[scene_keep]
+    points = np.concatenate([scene_p, donor_points])
+    boxes = np.concatenate([scene_b, obj_b])
+    names = np.concatenate([scene_n, obj_n])
+    return {"points": points, "gt_boxes": boxes, "gt_names": names}

@@ -221,22 +221,43 @@ class DetectorBundle:
         return init_fn(rng, example_batch)
 
     # -- training ------------------------------------------------------------
-    def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):
-        """Returns ((loss, (tb_dict, new_model_state)) pure function."""
-        out, new_state = self.module.apply(
-            variables, batch_dict, training=training, mutable=list(mutable)
-        )
+    def head_loss(self, out, gt_boxes, batch_size):
+        """Detection loss given forward outputs (pure, jittable)."""
+        out = dict(out)
+        out["batch_size"] = batch_size
         if self.dense_head_name == "AnchorHeadSingle":
-            targets = self.assigner.assign(batch_dict["gt_boxes"])
-            total, tb = anchor_head_loss(
+            targets = self.assigner.assign(gt_boxes)
+            return anchor_head_loss(
                 out, targets, self.anchors, self.model_cfg["DENSE_HEAD"],
                 self.num_class, self.box_coder,
             )
-        elif self.dense_head_name == "CenterHead":
-            total, tb = self._center_head_helper().get_loss(out, batch_dict["gt_boxes"])
-        else:
-            raise NotImplementedError(self.dense_head_name)
+        if self.dense_head_name == "CenterHead":
+            return self._center_head_helper().get_loss(out, gt_boxes)
+        raise NotImplementedError(self.dense_head_name)
+
+    def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):
+        """Returns (loss, (tb_dict, new_model_state)) — pure function."""
+        out, new_state = self.module.apply(
+            variables, batch_dict, training=training, mutable=list(mutable)
+        )
+        total, tb = self.head_loss(
+            out, batch_dict["gt_boxes"], batch_dict.get("batch_size", batch_dict["points"].shape[0])
+        )
         return total, (tb, new_state)
+
+    def decode_topk(self, out, k=32):
+        """(B, k) best decoded boxes + sigmoid scores, no NMS — for the stage-2
+        consistency matching (jittable)."""
+        if self.dense_head_name == "AnchorHeadSingle":
+            cls_logits, box_preds = generate_predicted_boxes(
+                out, self.anchors, self.model_cfg["DENSE_HEAD"], self.box_coder
+            )
+            scores = jax.nn.sigmoid(cls_logits).max(axis=-1)
+        else:
+            box_preds, scores, _ = self._center_decode(out)
+        top_scores, idx = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+        top_boxes = jnp.take_along_axis(box_preds, idx[..., None], axis=1)
+        return top_boxes[..., :7], top_scores
 
     # -- inference -----------------------------------------------------------
     def predict(self, variables, batch_dict):
