@@ -1,0 +1,145 @@
+"""NuScenes adapter tests on fabricated info pkls + .bin files."""
+
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from toda_tpu.config import EDict
+from toda_tpu.datasets import build_dataloader
+from toda_tpu.utils.nuscenes_eval_native import nuscenes_eval
+
+
+@pytest.fixture(scope="module")
+def fake_nuscenes(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nus")
+    rng = np.random.RandomState(0)
+    infos = []
+    for i in range(4):
+        n = 3000
+        pts = np.zeros((n, 5), np.float32)
+        pts[:, 0] = rng.uniform(-30, 30, n)
+        pts[:, 1] = rng.uniform(-30, 30, n)
+        pts[:, 2] = rng.uniform(-2, 1, n)
+        pts[:, 3] = rng.uniform(0, 255, n)
+        (root / "samples").mkdir(exist_ok=True)
+        bin_path = root / "samples" / f"frame_{i}.bin"
+        pts.tofile(bin_path)
+        # one sweep: same points translated
+        sweep_path = root / "samples" / f"sweep_{i}.bin"
+        pts.tofile(sweep_path)
+        tm = np.eye(4, dtype=np.float32)
+        tm[0, 3] = 1.0
+        n_box = 3
+        boxes = np.zeros((n_box, 7), np.float32)
+        boxes[:, :2] = rng.uniform(-20, 20, (n_box, 2))
+        boxes[:, 2] = -0.5
+        boxes[:, 3:6] = [4.5, 1.9, 1.7]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_box)
+        infos.append(
+            {
+                "lidar_path": f"samples/frame_{i}.bin",
+                "token": f"tok{i}",
+                "sweeps": [
+                    {"lidar_path": f"samples/sweep_{i}.bin", "transform_matrix": tm,
+                     "time_lag": 0.05}
+                ],
+                "gt_boxes": boxes,
+                "gt_names": np.asarray(["car", "car", "pedestrian"]),
+                "num_lidar_pts": np.asarray([100, 100, 100]),
+            }
+        )
+    with open(root / "nuscenes_infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    with open(root / "nuscenes_infos_val.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    return root, infos
+
+
+def nus_cfg(root):
+    with open("tools/cfgs/dataset_configs/synthetic_dataset.yaml") as f:
+        cfg = EDict(yaml.safe_load(f))
+    cfg.DATASET = "NuScenesDataset"
+    cfg.DATA_PATH = str(root)
+    cfg.MAX_SWEEPS = 2
+    cfg.SHIFT_COOR = [0.0, 0.0, 1.8]
+    cfg.BALANCED_RESAMPLING = False
+    cfg.INFO_PATH = {
+        "train": ["nuscenes_infos_train.pkl"],
+        "test": ["nuscenes_infos_val.pkl"],
+    }
+    cfg.POINT_CLOUD_RANGE = [-40.0, -40.0, -3.0, 40.0, 40.0, 3.0]
+    cfg.POINT_FEATURE_ENCODING = {
+        "encoding_type": "absolute_coordinates_encoding",
+        "used_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+        "src_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+    }
+    cfg.DATA_PROCESSOR[2].NUM_POINTS = {"train": 4096, "test": 4096}
+    return cfg
+
+
+def test_loading_and_sweeps(fake_nuscenes):
+    root, infos = fake_nuscenes
+    cfg = nus_cfg(root)
+    ds, loader, _ = build_dataloader(cfg, ["car", "pedestrian"], batch_size=2, training=True)
+    assert len(ds) == 4
+    pts, boxes, names = ds.get_raw_scene(0)
+    # key frame + 1 sweep, 5 channels (xyzi + time)
+    assert pts.shape == (6000, 5)
+    assert pts[:3000, 4].max() == 0.0 and pts[3000:, 4].min() > 0.0
+    # SHIFT_COOR applied to points and boxes alike
+    assert abs(pts[:, 2].mean() - (infos[0]["lidar_path"] is not None) * 1.3) < 1.0
+    assert np.allclose(boxes[:, 2], infos[0]["gt_boxes"][:, 2] + 1.8, atol=1e-5)
+    batch = next(iter(loader))
+    assert batch["points"].shape == (2, 4096, 5)
+    assert batch["gt_boxes"].shape[2] == 8
+
+
+def test_cbgs_resampling(fake_nuscenes):
+    root, infos = fake_nuscenes
+    cfg = nus_cfg(root)
+    cfg.BALANCED_RESAMPLING = True
+    np.random.seed(0)
+    ds, _, _ = build_dataloader(cfg, ["car", "pedestrian"], batch_size=2, training=True)
+    assert len(ds) > 0
+
+
+def test_sub_database(fake_nuscenes):
+    root, infos = fake_nuscenes
+    cfg = nus_cfg(root)
+    ds, _, _ = build_dataloader(cfg, ["car", "pedestrian"], batch_size=2, training=True)
+    db, subset = ds.create_sub_groundtruth_database(percentage=0.5)
+    assert len(subset) == 2
+    assert set(db.keys()) == {"car", "pedestrian"}
+
+
+def test_native_eval_perfect_predictions(fake_nuscenes):
+    root, infos = fake_nuscenes
+    gt_annos = [
+        {"boxes_lidar": i["gt_boxes"], "name": i["gt_names"]} for i in infos
+    ]
+    det_annos = [
+        {"boxes_lidar": i["gt_boxes"], "name": i["gt_names"],
+         "score": np.ones(len(i["gt_boxes"]))}
+        for i in infos
+    ]
+    result_str, result = nuscenes_eval(det_annos, gt_annos, ["car", "pedestrian"])
+    assert result["mAP"] > 0.95
+    assert result["NDS"] > 0.95
+    assert result["mTRANS_ERR"] < 1e-3
+
+
+def test_native_eval_shifted_predictions(fake_nuscenes):
+    root, infos = fake_nuscenes
+    gt_annos = [{"boxes_lidar": i["gt_boxes"], "name": i["gt_names"]} for i in infos]
+    det_annos = []
+    for i in infos:
+        b = i["gt_boxes"].copy()
+        b[:, 0] += 1.5  # within 2m/4m, outside 0.5m/1m
+        det_annos.append({"boxes_lidar": b, "name": i["gt_names"],
+                          "score": np.ones(len(b))})
+    _, result = nuscenes_eval(det_annos, gt_annos, ["car", "pedestrian"])
+    assert result["AP_car@0.5"] < 0.05
+    assert result["AP_car@4.0"] > 0.95
+    assert 0.3 < result["mAP"] < 0.7
