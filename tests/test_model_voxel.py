@@ -73,3 +73,12 @@ def test_centerpoint_trains_and_predicts():
     assert np.isfinite(losses).all()
     assert dets["pred_boxes"].shape[-1] == 7
     assert np.isfinite(np.asarray(dets["pred_scores"])).all()
+
+
+def test_second_iou_trains_and_predicts():
+    losses, dets = run_model("tools/cfgs/synthetic_models/second_iou_synthetic.yaml")
+    assert np.isfinite(losses).all()
+    assert dets["pred_boxes"].shape[-1] == 7
+    assert np.isfinite(np.asarray(dets["pred_scores"])).all()
+    # rescored final scores are within [0, 1] (sigmoid iou mixed with cls prob)
+    assert float(np.asarray(dets["pred_scores"]).max()) <= 1.0

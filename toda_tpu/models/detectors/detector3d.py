@@ -67,6 +67,8 @@ class Detector3D(nn.Module):
     num_anchors_per_location: int = 1
     code_size: int = 7
     feature_map_size: tuple = (0, 0)
+    anchors: object = None  # numpy, set when an anchor head (+ roi head) is used
+    box_coder_ref: object = None
 
     def _voxelize(self, batch_dict):
         def one(points, mask):
@@ -164,7 +166,45 @@ class Detector3D(nn.Module):
                     name="dense_head",
                 )
             batch_dict = head(batch_dict, training=training)
+
+        if cfg.get("ROI_HEAD", None) is not None:
+            batch_dict = self._roi_stage(batch_dict, cfg, training)
         return batch_dict
+
+    def _roi_stage(self, batch_dict, cfg, training):
+        """Proposal selection (top-N decoded boxes) + RoI head.
+
+        Reference: RoIHeadTemplate.proposal_layer (roi_head_template.py:46-103)
+        uses per-frame NMS; here proposals are the static top-N by score (NMS
+        runs once at post-processing — rescoring is insensitive to duplicates).
+        """
+        from ..dense_heads.anchor_head_single import generate_predicted_boxes
+        from ..roi_heads import __all__ as roi_heads
+
+        if self.model_cfg["DENSE_HEAD"]["NAME"] == "AnchorHeadSingle":
+            cls_logits, box_preds = generate_predicted_boxes(
+                batch_dict, jnp.asarray(self.anchors), cfg["DENSE_HEAD"], self.box_coder_ref
+            )
+            probs = jax.nn.sigmoid(cls_logits)
+            scores = probs.max(axis=-1)
+            labels = probs.argmax(axis=-1) + 1
+        else:
+            raise NotImplementedError("ROI head over CenterHead not wired yet")
+        n_rois = int(cfg["ROI_HEAD"].get("NUM_ROIS", 128))
+        top_scores, idx = jax.lax.top_k(scores, n_rois)
+        rois = jnp.take_along_axis(box_preds, idx[..., None], axis=1)[..., :7]
+        batch_dict["rois"] = rois
+        batch_dict["roi_scores"] = top_scores
+        batch_dict["roi_labels"] = jnp.take_along_axis(labels, idx, axis=1)
+        head = roi_heads[cfg["ROI_HEAD"]["NAME"]](
+            model_cfg=cfg["ROI_HEAD"],
+            input_channels=batch_dict["spatial_features_2d"].shape[-1],
+            point_cloud_range=self.meta.point_cloud_range,
+            voxel_size=self.meta.voxel_size,
+            bev_stride=int(cfg["ROI_HEAD"].get("BEV_STRIDE", 8)),
+            name="roi_head",
+        )
+        return head(batch_dict, training=training)
 
 
 class DetectorBundle:
@@ -210,8 +250,11 @@ class DetectorBundle:
             num_anchors_per_location=num_anchors_per_loc,
             code_size=code_size,
             feature_map_size=tuple(fmap),
+            anchors=np.asarray(self.anchors) if self.anchors is not None else None,
+            box_coder_ref=self.box_coder,
         )
         self.post_cfg = model_cfg.get("POST_PROCESSING", {})
+        self.has_roi_head = model_cfg.get("ROI_HEAD", None) is not None
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, rng, example_batch):
@@ -227,13 +270,25 @@ class DetectorBundle:
         out["batch_size"] = batch_size
         if self.dense_head_name == "AnchorHeadSingle":
             targets = self.assigner.assign(gt_boxes)
-            return anchor_head_loss(
+            total, tb = anchor_head_loss(
                 out, targets, self.anchors, self.model_cfg["DENSE_HEAD"],
                 self.num_class, self.box_coder,
             )
-        if self.dense_head_name == "CenterHead":
-            return self._center_head_helper().get_loss(out, gt_boxes)
-        raise NotImplementedError(self.dense_head_name)
+        elif self.dense_head_name == "CenterHead":
+            total, tb = self._center_head_helper().get_loss(out, gt_boxes)
+        else:
+            raise NotImplementedError(self.dense_head_name)
+        return self._add_roi_loss(out, gt_boxes, total, tb)
+
+    def _add_roi_loss(self, out, gt_boxes, total, tb):
+        if self.has_roi_head and "roi_ious" in out:
+            from ..roi_heads.second_head import second_head_loss
+
+            iou_loss, iou_tb = second_head_loss(out, gt_boxes)
+            w = float(self.model_cfg["ROI_HEAD"].get("IOU_LOSS_WEIGHT", 1.0))
+            total = total + w * iou_loss
+            tb = {**tb, **iou_tb, "rpn_loss": total}
+        return total, tb
 
     def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):
         """Returns (loss, (tb_dict, new_model_state)) — pure function."""
@@ -274,7 +329,28 @@ class DetectorBundle:
         post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 128))
         nms_thresh = float(nms_cfg.get("NMS_THRESH", 0.2))
 
-        if self.dense_head_name == "AnchorHeadSingle":
+        if self.has_roi_head and "roi_ious" in out:
+            # SECOND-IoU rescoring path (reference second_net_iou post-processing)
+            from ..roi_heads.second_head import rescore_detections
+
+            score_type = self.post_cfg.get("SCORE_TYPE", "weighted_iou_cls")
+            num_pts = None
+            if score_type == "num_pts_iou_cls" and "points" in out:
+                from ...ops.points_in_boxes import points_in_boxes
+
+                def count_one(pts, mask, rois):
+                    member = points_in_boxes(pts, rois) & mask[None, :]
+                    return member.sum(axis=1)
+
+                num_pts = jax.vmap(count_one)(out["points"], out["points_mask"], out["rois"])
+            box_preds = out["rois"]
+            labels = out["roi_labels"]
+            scores = rescore_detections(
+                out["roi_scores"], out["roi_ious"], num_pts=num_pts,
+                score_type=score_type,
+                iou_weight=float(self.post_cfg.get("IOU_WEIGHT", 0.68)),
+            )
+        elif self.dense_head_name == "AnchorHeadSingle":
             cls_logits, box_preds = generate_predicted_boxes(
                 out, self.anchors, self.model_cfg["DENSE_HEAD"], self.box_coder
             )
