@@ -1,0 +1,69 @@
+"""Aux subsystem tests: simplevis raster, waymo adapter on fabricated npys."""
+
+import pickle
+
+import numpy as np
+
+from toda_tpu.utils.simplevis import nuscene_vis
+
+
+def test_simplevis_raster(rng):
+    pts = rng.uniform(-40, 40, (3000, 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 0, 4, 2, 1.6, 0.3]], np.float32)
+    img = nuscene_vis(pts, boxes=boxes, pred_boxes=boxes + 0.5,
+                      pc_range=(-50, -50, -5, 50, 50, 3))
+    assert img.shape == (1000, 1000, 3)
+    assert img.dtype == np.uint8
+    assert img.max() > 0
+    # green gt outline and red pred outline present
+    assert (img[..., 1] == 255).any()
+    assert (img[..., 0] == 255).any()
+
+
+def test_waymo_adapter(tmp_path, rng):
+    import yaml
+    from toda_tpu.config import EDict
+    from toda_tpu.datasets import build_dataloader
+
+    seq = "segment-000"
+    (tmp_path / "waymo_processed_data" / seq).mkdir(parents=True)
+    infos = []
+    for i in range(2):
+        pts = rng.uniform(-50, 50, (3000, 6)).astype(np.float32)
+        np.save(tmp_path / "waymo_processed_data" / seq / f"{i:04d}.npy", pts)
+        boxes = np.zeros((2, 7), np.float32)
+        boxes[:, :2] = rng.uniform(-30, 30, (2, 2))
+        boxes[:, 3:6] = [4.8, 2.1, 1.8]
+        infos.append(
+            {
+                "point_cloud": {"lidar_sequence": seq, "sample_idx": i},
+                "annos": {
+                    "name": np.asarray(["Vehicle", "Pedestrian"]),
+                    "gt_boxes_lidar": boxes,
+                    "num_points_in_gt": np.asarray([50, 50]),
+                },
+            }
+        )
+    with open(tmp_path / "waymo_infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+    with open("tools/cfgs/dataset_configs/synthetic_dataset.yaml") as f:
+        cfg = EDict(yaml.safe_load(f))
+    cfg.DATASET = "WaymoDataset"
+    cfg.DATA_PATH = str(tmp_path)
+    cfg.INFO_PATH = {"train": ["waymo_infos_train.pkl"], "test": ["waymo_infos_train.pkl"]}
+    cfg.POINT_CLOUD_RANGE = [-75.0, -75.0, -2.0, 75.0, 75.0, 4.0]
+    cfg.POINT_FEATURE_ENCODING = {
+        "encoding_type": "absolute_coordinates_encoding",
+        "used_feature_list": ["x", "y", "z", "intensity", "elongation"],
+        "src_feature_list": ["x", "y", "z", "intensity", "elongation"],
+    }
+    cfg.DATA_PROCESSOR[2].NUM_POINTS = {"train": 4096, "test": 4096}
+
+    ds, loader, _ = build_dataloader(cfg, ["Vehicle", "Pedestrian"], batch_size=2,
+                                     training=True)
+    assert len(ds) == 2
+    pts, boxes, names = ds.get_raw_scene(0)
+    assert pts.shape[1] == 5
+    batch = next(iter(loader))
+    assert batch["points"].shape == (2, 4096, 5)

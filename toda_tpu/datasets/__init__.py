@@ -83,6 +83,8 @@ def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logge
         cls = __all__["NuScenesDataset"]
     elif name == "KittiDataset":
         from .kitti.kitti_dataset import KittiDataset as cls
+    elif name == "WaymoDataset":
+        from .waymo.waymo_dataset import WaymoDataset as cls
     elif name == "CutMixDataset":
         from .mix_dataset import CutMixDataset as cls
     elif name == "MixUpDataset":

@@ -1,0 +1,74 @@
+"""Single-scene inference demo: run a checkpoint on one frame, save a BEV image.
+
+Reference: tools/demo.py (112 LoC, mayavi/open3d scene rendering). Headless here:
+writes a PNG via the pure-numpy BEV rasterizer (toda_tpu/utils/simplevis.py).
+"""
+
+import argparse
+
+import _init_path  # noqa: F401
+import numpy as np
+
+from toda_tpu.config import cfg, cfg_from_yaml_file
+from toda_tpu.datasets import build_dataloader
+from toda_tpu.models import build_network
+from toda_tpu.runtime import checkpoint as ckpt_lib
+from toda_tpu.runtime.eval_utils import make_predict_step
+from toda_tpu.runtime.train_utils import create_train_state
+from toda_tpu.utils import common_utils
+from toda_tpu.utils.simplevis import nuscene_vis
+
+
+def save_png(path, img):
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+    except ImportError:
+        np.save(str(path) + ".npy", img)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--out", type=str, default="demo_bev.png")
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    logger = common_utils.create_logger()
+
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False, logger=logger
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    item = dataset[args.frame]
+    batch = dataset.collate_batch([item])
+    state, _ = create_train_state(bundle, cfg.OPTIMIZATION, 1, batch)
+    if args.ckpt:
+        state, _ = ckpt_lib.load_checkpoint(args.ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    import jax.numpy as jnp
+
+    dets = make_predict_step(bundle)(
+        variables,
+        {"points": jnp.asarray(batch["points"]), "points_mask": jnp.asarray(batch["points_mask"])},
+    )
+    dets = {k: np.asarray(v)[0] for k, v in dets.items()}
+    m = dets["pred_mask"].astype(bool)
+    logger.info("frame %d: %d detections", args.frame, m.sum())
+
+    pts = batch["points"][0][batch["points_mask"][0]]
+    gt = batch["gt_boxes"][0]
+    gt = gt[gt[:, 7] > 0][:, :7] if gt.shape[1] > 7 else gt
+    img = nuscene_vis(
+        pts, boxes=gt, pred_boxes=dets["pred_boxes"][m][:, :7],
+        pc_range=tuple(dataset.point_cloud_range),
+    )
+    save_png(args.out, img)
+    logger.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
