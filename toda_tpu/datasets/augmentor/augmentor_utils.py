@@ -88,6 +88,78 @@ def global_translation(gt_boxes, points, noise_std, params=None):
     return gt_boxes, points, noise.tolist()
 
 
+def random_local_rotation(gt_boxes, points, rot_range, params=None):
+    """Rotate each object (box + its points) independently about its own center.
+
+    Reference: augmentor_utils random_local_rotation. params: (M,) angles.
+    """
+    from ...utils import box_utils
+
+    m = len(gt_boxes)
+    if m == 0:
+        return gt_boxes, points, []
+    angles = (
+        np.random.uniform(rot_range[0], rot_range[1], m) if params is None
+        else np.asarray(params)
+    )
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])
+    for j in range(m):
+        sel = member[j]
+        c, s = np.cos(angles[j]), np.sin(angles[j])
+        rel = points[sel, :2] - gt_boxes[j, :2]
+        points[sel, 0] = rel[:, 0] * c - rel[:, 1] * s + gt_boxes[j, 0]
+        points[sel, 1] = rel[:, 0] * s + rel[:, 1] * c + gt_boxes[j, 1]
+        gt_boxes[j, 6] += angles[j]
+    return gt_boxes, points, angles.tolist()
+
+
+def random_local_scaling(gt_boxes, points, scale_range, params=None):
+    """Scale each object independently about its center (points + box dims)."""
+    from ...utils import box_utils
+
+    m = len(gt_boxes)
+    if m == 0:
+        return gt_boxes, points, []
+    scales = (
+        np.random.uniform(scale_range[0], scale_range[1], m) if params is None
+        else np.asarray(params)
+    )
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])
+    for j in range(m):
+        sel = member[j]
+        points[sel, :3] = (points[sel, :3] - gt_boxes[j, :3]) * scales[j] + gt_boxes[j, :3]
+        gt_boxes[j, 3:6] *= scales[j]
+    return gt_boxes, points, scales.tolist()
+
+
+def random_world_frustum_dropout(gt_boxes, points, intensity_range=(0.2, 0.7),
+                                 direction_range=(-np.pi, np.pi), params=None):
+    """Drop all points inside a random azimuth frustum (sensor-occlusion sim).
+
+    Reference: augmentor_utils random_world_frustum_dropout_* family, collapsed
+    to the azimuth variant. params: (direction, half_width).
+    """
+    if params is None:
+        direction = np.random.uniform(*direction_range)
+        half = np.random.uniform(*intensity_range) / 2.0
+    else:
+        direction, half = params
+    ang = np.arctan2(points[:, 1], points[:, 0])
+    rel = (ang - direction + np.pi) % (2 * np.pi) - np.pi
+    keep = np.abs(rel) > half
+    if len(gt_boxes):
+        bang = np.arctan2(gt_boxes[:, 1], gt_boxes[:, 0])
+        brel = (bang - direction + np.pi) % (2 * np.pi) - np.pi
+        box_keep = np.abs(brel) > half
+    else:
+        box_keep = np.ones(0, bool)
+    return gt_boxes[box_keep], points[keep], (float(direction), float(half)), box_keep
+
+
 def reverse_boxes_transform(boxes, aug_params):
     """Undo recorded world augmentations on predicted boxes (for the stage-2
     consistency loss — reference pcdet/models/__init__.py reverse_transform).

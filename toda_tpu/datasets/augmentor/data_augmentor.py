@@ -119,6 +119,50 @@ class DataAugmentor:
         data_dict["points"] = points
         return data_dict
 
+    def random_local_rotation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config.LOCAL_ROT_ANGLE
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt_boxes, points, used = augmentor_utils.random_local_rotation(
+            data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
+            data_dict["points"], rot_range=rot_range,
+            params=self._replay_param(data_dict, "random_local_rotation"),
+        )
+        self._record(data_dict, "random_local_rotation", used)
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        gt_boxes, points, used = augmentor_utils.random_local_scaling(
+            data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
+            data_dict["points"], scale_range=config.LOCAL_SCALE_RANGE,
+            params=self._replay_param(data_dict, "random_local_scaling"),
+        )
+        self._record(data_dict, "random_local_scaling", used)
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        gt_boxes, points, used, box_keep = augmentor_utils.random_world_frustum_dropout(
+            data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
+            data_dict["points"],
+            intensity_range=tuple(config.get("INTENSITY_RANGE", (0.2, 0.7))),
+            params=self._replay_param(data_dict, "random_world_frustum_dropout"),
+        )
+        self._record(data_dict, "random_world_frustum_dropout", used)
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        if "gt_names" in data_dict:
+            data_dict["gt_names"] = np.asarray(data_dict["gt_names"])[box_keep]
+        if "gt_boxes_mask" in data_dict:
+            data_dict["gt_boxes_mask"] = np.asarray(data_dict["gt_boxes_mask"])[box_keep]
+        return data_dict
+
     # ---- driver ------------------------------------------------------------
     def forward(self, data_dict):
         for cur_augmentor in self.data_augmentor_queue:
