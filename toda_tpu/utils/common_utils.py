@@ -102,7 +102,7 @@ def get_voxel_centers(voxel_coords, downsample_times, voxel_size, point_cloud_ra
 
 
 def create_logger(log_file=None, rank=0, log_level=logging.INFO):
-    logger = logging.getLogger(log_file if log_file else __name__)
+    logger = logging.getLogger(str(log_file) if log_file else __name__)
     logger.setLevel(log_level if rank == 0 else logging.ERROR)
     formatter = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
     if not logger.handlers:
