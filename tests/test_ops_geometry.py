@@ -109,3 +109,27 @@ class TestPointsInBoxes:
         pts = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
         got = np.asarray(points_in_boxes(jnp.asarray(pts), jnp.asarray(boxes)))
         assert not got.any()
+
+
+class TestMultiClassNMS:
+    def test_per_class_separation(self, rng):
+        from toda_tpu.ops.nms import multi_classes_nms
+        import jax.numpy as jnp
+
+        boxes = np.zeros((6, 7), dtype=np.float32)
+        boxes[:, 0] = [0, 0.1, 20, 20.1, 40, 60]
+        boxes[:, 3:6] = 2
+        # class 1 strong on first pair, class 2 strong on second pair
+        scores = np.zeros((6, 2), dtype=np.float32)
+        scores[0, 0], scores[1, 0] = 0.9, 0.8
+        scores[2, 1], scores[3, 1] = 0.9, 0.8
+        scores[4, 0], scores[5, 1] = 0.7, 0.7
+        b, s, l, m = multi_classes_nms(
+            jnp.asarray(scores), jnp.asarray(boxes), num_class=2,
+            score_thresh=0.5, nms_thresh=0.3, pre_maxsize=6, post_maxsize=6,
+        )
+        b, s, l, m = map(np.asarray, (b, s, l, m))
+        kept = l[m]
+        # overlapping same-class pairs suppressed; one survivor each + singles
+        assert (kept == 1).sum() == 2  # box0 + box4
+        assert (kept == 2).sum() == 2  # box2 + box5

@@ -1,4 +1,5 @@
 from .mean_vfe import MeanVFE
 from .pillar_vfe import PillarVFE
+from .dynamic_vfe import DynamicMeanVFE
 
-__all__ = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE}
+__all__ = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE, "DynamicMeanVFE": DynamicMeanVFE}

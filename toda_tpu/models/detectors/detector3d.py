@@ -94,17 +94,26 @@ class Detector3D(nn.Module):
         batch_dict = dict(batch_dict)
         batch_dict.setdefault("batch_size", batch_dict["points"].shape[0])
         bb3d_name = cfg.get("BACKBONE_3D", {}).get("NAME") if cfg.get("BACKBONE_3D") else None
-        skip_voxelize = bb3d_name in POINT_CONSUMING
+        vfe_name = cfg.get("VFE", {}).get("NAME") if cfg.get("VFE") else None
+        # pillar backbones and dynamic VFEs own their voxelization
+        skip_voxelize = bb3d_name in POINT_CONSUMING or vfe_name == "DynamicMeanVFE"
         if "voxels" not in batch_dict and not skip_voxelize:
             batch_dict = self._voxelize(batch_dict)
 
-        if cfg.get("VFE", None) is not None and not skip_voxelize:
-            vfe_cls = vfe_modules[cfg["VFE"]["NAME"]]
+        if cfg.get("VFE", None) is not None and bb3d_name not in POINT_CONSUMING:
+            vfe_cls = vfe_modules[vfe_name]
             kwargs = dict(model_cfg=cfg["VFE"], num_point_features=self.meta.num_point_features)
-            if cfg["VFE"]["NAME"] == "PillarVFE":
+            if vfe_name == "PillarVFE":
                 kwargs.update(
                     voxel_size=self.meta.voxel_size,
                     point_cloud_range=self.meta.point_cloud_range,
+                )
+            elif vfe_name == "DynamicMeanVFE":
+                kwargs.update(
+                    voxel_size=self.meta.voxel_size,
+                    point_cloud_range=self.meta.point_cloud_range,
+                    grid_size=self.meta.grid_size,
+                    max_voxels=self.meta.max_voxels,
                 )
             batch_dict = vfe_cls(name="vfe", **kwargs)(batch_dict, training=training)
             if "pillar_features" not in batch_dict and "voxel_features" in batch_dict:

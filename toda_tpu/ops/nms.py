@@ -94,6 +94,38 @@ def class_agnostic_nms(
     )
 
 
+@partial(jax.jit, static_argnames=("num_class", "pre_maxsize", "post_maxsize"))
+def multi_classes_nms(cls_scores, box_preds, num_class, score_thresh=None,
+                      nms_thresh=0.2, pre_maxsize=512, post_maxsize=128):
+    """Per-class NMS (reference model_nms_utils.multi_classes_nms:28-67).
+
+    cls_scores: (N, num_class) sigmoid scores; box_preds (N, 7).
+    Returns (boxes (num_class*post, 7), scores, labels, mask) — per-class results
+    concatenated, statically sized.
+    """
+    all_idx, all_mask, all_scores, all_labels = [], [], [], []
+    for c in range(num_class):
+        s = cls_scores[:, c]
+        m = jnp.ones_like(s, dtype=bool)
+        if score_thresh is not None:
+            m = s >= score_thresh
+        idx, keep = nms_bev(
+            box_preds, s, nms_thresh, pre_maxsize=pre_maxsize,
+            post_maxsize=post_maxsize, valid_mask=m,
+        )
+        all_idx.append(idx)
+        all_mask.append(keep)
+        all_scores.append(s[idx] * keep)
+        all_labels.append(jnp.full_like(idx, c + 1) * keep)
+    idx = jnp.concatenate(all_idx)
+    return (
+        box_preds[idx],
+        jnp.concatenate(all_scores),
+        jnp.concatenate(all_labels).astype(jnp.int32),
+        jnp.concatenate(all_mask),
+    )
+
+
 @partial(jax.jit, static_argnames=("post_maxsize",))
 def circle_nms(centers, scores, radius, post_maxsize=83, valid_mask=None):
     """CenterPoint circle-NMS: suppress detections whose center distance < radius.
