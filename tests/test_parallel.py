@@ -1,0 +1,83 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh.
+
+Key property pinned here: because the whole (global) batch flows through ONE
+jitted computation with batch-dim sharding, masked batch-norm statistics are
+computed over the full global batch — the reference's opt-in SyncBN
+(convert_sync_batchnorm, tools/train.py:117-118) is the DEFAULT behavior of
+this design, not an extra wrapper.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from toda_tpu.models.model_utils.masked_norm import MaskedBatchNorm
+
+
+def _norm_stats(x, mask, sharding=None):
+    model = MaskedBatchNorm()
+    variables = model.init(jax.random.PRNGKey(0), x, mask, training=True)
+
+    @jax.jit
+    def run(v, x, m):
+        out, new = model.apply(v, x, m, training=True, mutable=["batch_stats"])
+        return out, new["batch_stats"]
+
+    if sharding is not None:
+        x = jax.device_put(x, sharding)
+        m = jax.device_put(mask, sharding)
+    else:
+        m = mask
+    out, stats = run(variables, x, m)
+    return np.asarray(out), jax.tree_util.tree_map(np.asarray, stats)
+
+
+def test_bn_stats_identical_sharded_vs_single(rng):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    x = rng.randn(8, 64, 16).astype(np.float32)
+    mask = rng.rand(8, 64) > 0.3
+    out1, st1 = _norm_stats(jnp.asarray(x), jnp.asarray(mask))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    sh = NamedSharding(mesh, P("dp"))
+    out8, st8 = _norm_stats(jnp.asarray(x), jnp.asarray(mask), sharding=sh)
+    np.testing.assert_allclose(out1, out8, atol=1e-5)
+    np.testing.assert_allclose(st1["mean"], st8["mean"], atol=1e-6)
+    np.testing.assert_allclose(st1["var"], st8["var"], atol=1e-6)
+
+
+def test_train_step_matches_single_device(rng):
+    """One DP train step over the 8-device mesh produces the same loss as the
+    same batch on one device (determinism of the sharded computation)."""
+    import yaml
+
+    from toda_tpu.config import EDict, cfg_from_yaml_file
+    from toda_tpu.datasets import build_dataloader
+    from toda_tpu.models import build_network
+    from toda_tpu.runtime.train_utils import (
+        create_train_state, make_train_step, select_batch_arrays,
+    )
+
+    np.random.seed(0)
+    cfg = cfg_from_yaml_file(
+        "tools/cfgs/synthetic_models/pointpillar_synthetic_tiny.yaml", EDict()
+    )
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=8, training=True
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    batch = next(iter(loader))
+    state, _ = create_train_state(bundle, cfg.OPTIMIZATION, 4, batch)
+    step = make_train_step(bundle)
+    arrays = {k: jnp.asarray(v) for k, v in select_batch_arrays(batch).items()}
+
+    _, tb1 = step(state, {k: v for k, v in arrays.items()})
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    state2, _ = create_train_state(bundle, cfg.OPTIMIZATION, 4, batch)
+    state2 = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state2)
+    sharded = {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    _, tb8 = step(state2, sharded)
+    np.testing.assert_allclose(float(tb1["loss"]), float(tb8["loss"]), rtol=1e-4)
