@@ -141,6 +141,7 @@ class DatasetTemplate:
             data_dict["aug_vector"] = self.aug_vector(data_dict["augmentation_params"])
         data_dict.pop("gt_names", None)
         data_dict.pop("use_lead_xyz", None)
+        data_dict.pop("replay_params", None)
         return data_dict
 
     @staticmethod
