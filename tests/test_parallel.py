@@ -81,3 +81,17 @@ def test_train_step_matches_single_device(rng):
     sharded = {k: jax.device_put(v, sh) for k, v in arrays.items()}
     _, tb8 = step(state2, sharded)
     np.testing.assert_allclose(float(tb1["loss"]), float(tb8["loss"]), rtol=1e-4)
+
+
+def test_commu_utils_single_process():
+    """Host collective helpers degrade to identities in single-process runs."""
+    from toda_tpu.utils import commu_utils as cu
+
+    assert cu.get_world_size() >= 1
+    assert cu.all_gather({"a": 1}) == [{"a": 1}]
+    assert cu.average_reduce_value(3.5) == 3.5
+    assert cu.reduce_dict({"x": 2.0}) == {"x": 2.0}
+    merged = cu.merge_results_dist([1, 2, 3], total_size=3)
+    assert merged == [1, 2, 3]
+    np.testing.assert_array_equal(cu.concat_all_gather(np.arange(4)), np.arange(4))
+    cu.synchronize()  # no-op
