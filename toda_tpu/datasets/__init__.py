@@ -50,9 +50,12 @@ class DataLoader:
         else:
             idx = np.arange(n)
         if self.world_size > 1:
-            # pad to a multiple of world_size so every process sees equal batches
+            # ALWAYS pad to a multiple of world_size so every rank sees the same
+            # number of batches regardless of drop_last (unequal per-rank step
+            # counts desynchronize the jitted collective step -> multi-host hang;
+            # the reference DistributedSampler pads the same way).
             pad = (-len(idx)) % self.world_size
-            if pad and not self.drop_last:
+            if pad:
                 idx = np.concatenate([idx, idx[:pad]])
             idx = idx[self.rank :: self.world_size]
         return idx

@@ -26,11 +26,12 @@ def add_sin_difference(boxes1, boxes2, dim=6):
     return b1, b2
 
 
-def get_direction_target(gt_heading, anchors_rot, dir_offset, num_bins):
-    """Heading -> direction bin (reference anchor_head_template.get_direction_target)."""
-    rot = gt_heading - anchors_rot - dir_offset
-    dir_cls = jnp.floor(rot / (2 * np.pi / num_bins)).astype(jnp.int32) % num_bins
-    return dir_cls
+def get_direction_target(gt_heading, dir_offset, num_bins):
+    """Heading -> direction bin (reference anchor_head_template.get_direction_target
+    :150-157 — bins the absolute gt heading, rot_gt = reg_target + anchor_rot)."""
+    offset_rot = limit_period_jnp(gt_heading - dir_offset, 0.0, 2 * np.pi)
+    dir_cls = jnp.floor(offset_rot / (2 * np.pi / num_bins)).astype(jnp.int32)
+    return jnp.clip(dir_cls, 0, num_bins - 1)
 
 
 class AnchorHeadSingle(nn.Module):
@@ -96,7 +97,7 @@ def anchor_head_loss(batch_dict, targets, anchors, model_cfg, num_class, box_cod
         num_bins = model_cfg.get("NUM_DIR_BINS", 2)
         dir_offset = model_cfg.get("DIR_OFFSET", 0.78539)
         dir_targets = get_direction_target(
-            targets["matched_gt_heading"], anchors[None, :, 6], dir_offset, num_bins
+            targets["matched_gt_heading"], dir_offset, num_bins
         )
         dir_one_hot = jax.nn.one_hot(dir_targets, num_bins)
         dir_loss = loss_utils.weighted_cross_entropy_loss(

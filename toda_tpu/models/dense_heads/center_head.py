@@ -125,7 +125,7 @@ class CenterHead(nn.Module):
             )
 
             def one_frame(gt):
-                gcls = gt[:, 7].astype(jnp.int32)  # (M,)
+                gcls = gt[:, -1].astype(jnp.int32)  # (M,) class id is the LAST column
                 # local class index within this head group, -1 if not in group
                 eq = gcls[:, None] == cls_ids[None, :]
                 in_group = eq.any(axis=1)

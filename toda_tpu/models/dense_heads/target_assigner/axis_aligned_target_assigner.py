@@ -63,7 +63,7 @@ class AxisAlignedTargetAssigner:
     def _assign_one(self, gt_boxes):
         anchors = self.anchors
         n = anchors.shape[0]
-        gt_cls = gt_boxes[:, 7].astype(jnp.int32)  # (M,)
+        gt_cls = gt_boxes[:, -1].astype(jnp.int32)  # (M,) class id is the LAST column
         gt_valid = gt_cls > 0
 
         iou = nearest_bev_iou_jnp(anchors, gt_boxes[:, :7])  # (N, M)

@@ -105,7 +105,7 @@ def second_head_loss(batch_dict, gt_boxes):
 
     def target_one(r, gt):
         iou = boxes_iou3d(r[:, :7], gt[:, :7])  # (N, M)
-        iou = jnp.where((gt[:, 7] > 0)[None, :], iou, 0.0)
+        iou = jnp.where((gt[:, -1] > 0)[None, :], iou, 0.0)  # class is LAST column
         return iou.max(axis=1)
 
     target = jax.vmap(target_one)(rois, gt_boxes)  # (B, N)

@@ -28,7 +28,7 @@ def make_predict_step(bundle):
 
 def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list):
     """Per-frame recall counters (host). gt_boxes (M, 8) padded."""
-    gt_valid = gt_boxes[:, 7] > 0
+    gt_valid = gt_boxes[:, -1] > 0  # class id is the LAST column
     gts = gt_boxes[gt_valid][:, :7]
     out = {f"recall_{t}": 0 for t in thresh_list}
     out["gt"] = len(gts)

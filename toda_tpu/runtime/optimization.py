@@ -25,8 +25,14 @@ def build_scheduler_fn(opt_cfg, total_steps):
         )
     decay_steps = opt_cfg.get("DECAY_STEP_LIST", None)
     if decay_steps:
-        # epoch-indexed decay steps scaled to iterations by the caller
-        boundaries = {int(s): float(opt_cfg.get("LR_DECAY", 0.1)) for s in decay_steps}
+        # DECAY_STEP_LIST holds EPOCH indices (reference optimization/__init__.py:44-50
+        # multiplies by len(train_loader)); scale to iterations via NUM_EPOCHS
+        num_epochs = int(opt_cfg.get("NUM_EPOCHS", 1))
+        steps_per_epoch = max(total_steps // max(num_epochs, 1), 1)
+        boundaries = {
+            int(s) * steps_per_epoch: float(opt_cfg.get("LR_DECAY", 0.1))
+            for s in decay_steps
+        }
         return optax.piecewise_constant_schedule(lr, boundaries)
     return optax.constant_schedule(lr)
 

@@ -76,7 +76,7 @@ def generate_pseudo_labels(
                 k = min(m.sum(), gt_like.shape[1])
                 sel = np.where(m)[0][:k]
                 gt_like[i, :k, :7] = dets["pred_boxes"][i, sel, :7]
-                gt_like[i, :k, 7] = dets["pred_labels"][i, sel]
+                gt_like[i, :k, -1] = dets["pred_labels"][i, sel]  # class is LAST column
             perturb = np.asarray(
                 perturb_step(variables, {**arrays, "gt_boxes": jnp.asarray(gt_like)})
             ) * eps

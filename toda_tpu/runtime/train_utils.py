@@ -103,10 +103,15 @@ def train_model(
         train_loader.set_epoch(cur_epoch)
         data_meter, batch_meter = AverageMeter(), AverageMeter()
         end = time.time()
+        # curriculum knob for mix processors (reference train_utils.py:47-48) —
+        # set BEFORE fetching the batch so the first batch of the epoch already
+        # sees the up-to-date schedule position
+        train_loader.dataset.train_percent = accumulated_iter / max(
+            total_its * total_epochs, 1
+        )
         for it, batch in enumerate(train_loader):
             data_meter.update(time.time() - end)
-            # curriculum knob for mix processors (reference train_utils.py:47-48)
-            train_loader.dataset.train_percent = accumulated_iter / max(
+            train_loader.dataset.train_percent = (accumulated_iter + 1) / max(
                 total_its * total_epochs, 1
             )
             arrays = {k: jnp.asarray(v) for k, v in select_batch_arrays(batch).items()}
