@@ -69,6 +69,7 @@ class Detector3D(nn.Module):
     feature_map_size: tuple = (0, 0)
     anchors: object = None  # numpy, set when an anchor head (+ roi head) is used
     box_coder_ref: object = None
+    multihead_kwargs: tuple = ()  # AnchorHeadMulti group sizes (hashable)
 
     def _voxelize(self, batch_dict):
         def one(points, mask):
@@ -163,6 +164,16 @@ class Detector3D(nn.Module):
                     feature_map_size=self.feature_map_size,
                     name="dense_head",
                 )
+            elif head_name == "AnchorHeadMulti":
+                mh = dict(self.multihead_kwargs)
+                head = head_cls(
+                    model_cfg=cfg["DENSE_HEAD"],
+                    input_channels=batch_dict["spatial_features_2d"].shape[-1],
+                    head_num_classes=mh["head_num_classes"],
+                    head_num_anchors=mh["head_num_anchors"],
+                    code_size=self.code_size,
+                    name="dense_head",
+                )
             else:  # CenterHead
                 head = head_cls(
                     model_cfg=cfg["DENSE_HEAD"],
@@ -176,43 +187,160 @@ class Detector3D(nn.Module):
                 )
             batch_dict = head(batch_dict, training=training)
 
+        if (
+            cfg.get("PFE", None) is not None
+            and cfg["PFE"].get("SAMPLE_METHOD") == "SPC"
+            and cfg.get("ROI_HEAD", None) is not None
+        ):
+            batch_dict = self._proposals_and_targets(batch_dict, cfg, training)
+
+        if cfg.get("PFE", None) is not None:
+            from ..backbones_3d.pfe import __all__ as pfe_modules
+
+            batch_dict = pfe_modules[cfg["PFE"]["NAME"]](
+                model_cfg=cfg["PFE"],
+                voxel_size=self.meta.voxel_size,
+                point_cloud_range=self.meta.point_cloud_range,
+                grid_size=self.meta.grid_size,
+                num_rawpoint_features=self.meta.num_point_features,
+                name="pfe",
+            )(batch_dict, training=training)
+
+        if cfg.get("POINT_HEAD", None) is not None:
+            ph_name = cfg["POINT_HEAD"].get("NAME", "PointHeadSimple")
+            if ph_name == "PointHeadBox":
+                from ..dense_heads.point_head_box import PointHeadBox as ph_cls
+            elif ph_name == "PointHeadIntraPart":
+                from ..dense_heads.point_head_intra_part import PointHeadIntraPart as ph_cls
+            else:
+                from ..dense_heads.point_head_simple import PointHeadSimple as ph_cls
+
+            batch_dict = ph_cls(
+                model_cfg=cfg["POINT_HEAD"], num_class=self.num_class, name="point_head"
+            )(batch_dict, training=training)
+
         if cfg.get("ROI_HEAD", None) is not None:
             batch_dict = self._roi_stage(batch_dict, cfg, training)
         return batch_dict
 
     def _roi_stage(self, batch_dict, cfg, training):
-        """Proposal selection (top-N decoded boxes) + RoI head.
+        """Proposal layer + (training) RoI target sampling + RoI head.
 
         Reference: RoIHeadTemplate.proposal_layer (roi_head_template.py:46-103)
-        uses per-frame NMS; here proposals are the static top-N by score (NMS
-        runs once at post-processing — rescoring is insensitive to duplicates).
+        and assign_targets (:106-138). Proposals use per-frame NMS when the head
+        config carries NMS_CONFIG; otherwise the static top-N fast path (the
+        SECOND-IoU rescoring head is insensitive to duplicate proposals —
+        pinned by tests/test_model_voxel.py).
         """
         from ..dense_heads.anchor_head_single import generate_predicted_boxes
         from ..roi_heads import __all__ as roi_heads
+        from ..roi_heads.roi_utils import assign_targets, proposal_layer
 
-        if self.model_cfg["DENSE_HEAD"]["NAME"] == "AnchorHeadSingle":
+        batch_dict = self._proposals_and_targets(batch_dict, cfg, training)
+        return self._apply_roi_head(batch_dict, cfg, training)
+
+    def _proposals_and_targets(self, batch_dict, cfg, training):
+        """Proposal NMS + (training) RoI target sampling. Idempotent: skipped
+        when an earlier stage (PV-RCNN++ SPC pre-pass) already produced them
+        (reference detectors/pv_rcnn_plusplus.py:16-27 runs both before the
+        PFE)."""
+        from ..roi_heads.roi_utils import assign_targets
+
+        roi_cfg = cfg["ROI_HEAD"]
+        if "rois" not in batch_dict:
+            batch_dict = self._make_proposals(batch_dict, cfg, training)
+
+        if (
+            training
+            and roi_cfg.get("TARGET_CONFIG") is not None
+            and "gt_boxes" in batch_dict
+            and "rcnn_cls_labels" not in batch_dict
+        ):
+            rng = (
+                self.make_rng("sampling")
+                if self.has_rng("sampling")
+                else jax.random.PRNGKey(0)
+            )
+            targets = assign_targets(rng, batch_dict, roi_cfg["TARGET_CONFIG"])
+            batch_dict["rois"] = targets["rois"][..., :7]
+            batch_dict["roi_scores"] = targets["roi_scores"]
+            batch_dict["roi_labels"] = targets["roi_labels"]
+            batch_dict["roi_mask"] = jnp.ones(targets["roi_scores"].shape, dtype=bool)
+            for k in ("gt_of_rois", "gt_of_rois_src", "gt_iou_of_rois",
+                      "reg_valid_mask", "rcnn_cls_labels"):
+                batch_dict[k] = targets[k]
+        return batch_dict
+
+    def _make_proposals(self, batch_dict, cfg, training):
+        """First-stage box decode + NMS proposal selection (no target sampling)."""
+        from ..dense_heads.anchor_head_single import generate_predicted_boxes
+        from ..roi_heads.roi_utils import proposal_layer
+
+        roi_cfg = cfg["ROI_HEAD"]
+        dense_name = (
+            self.model_cfg["DENSE_HEAD"]["NAME"] if self.model_cfg.get("DENSE_HEAD") else None
+        )
+        if dense_name == "AnchorHeadSingle":
             cls_logits, box_preds = generate_predicted_boxes(
                 batch_dict, jnp.asarray(self.anchors), cfg["DENSE_HEAD"], self.box_coder_ref
             )
+        elif "batch_box_preds" in batch_dict:
+            # point-wise proposals (PointRCNN: PointHeadBox decoded boxes)
+            cls_logits = batch_dict["batch_cls_preds"]
+            box_preds = batch_dict["batch_box_preds"]
+        else:
+            raise NotImplementedError(f"ROI head over {dense_name} not wired yet")
+
+        nms_cfg_all = roi_cfg.get("NMS_CONFIG", None)
+        if nms_cfg_all is not None:
+            nms_cfg = nms_cfg_all.get("TRAIN" if training else "TEST", nms_cfg_all)
+            rois, roi_scores, roi_labels, roi_mask = proposal_layer(
+                box_preds, cls_logits, nms_cfg, normalized=False
+            )
+            batch_dict["rois"] = rois[..., :7]
+            batch_dict["roi_scores"] = roi_scores
+            batch_dict["roi_labels"] = roi_labels
+            batch_dict["roi_mask"] = roi_mask
+        else:
             probs = jax.nn.sigmoid(cls_logits)
             scores = probs.max(axis=-1)
             labels = probs.argmax(axis=-1) + 1
+            n_rois = int(roi_cfg.get("NUM_ROIS", 128))
+            top_scores, idx = jax.lax.top_k(scores, n_rois)
+            batch_dict["rois"] = jnp.take_along_axis(box_preds, idx[..., None], axis=1)[..., :7]
+            batch_dict["roi_scores"] = top_scores
+            batch_dict["roi_labels"] = jnp.take_along_axis(labels, idx, axis=1)
+            batch_dict["roi_mask"] = jnp.ones(top_scores.shape, dtype=bool)
+
+        return batch_dict
+
+    def _apply_roi_head(self, batch_dict, cfg, training):
+        from ..roi_heads import __all__ as roi_heads
+
+        roi_cfg = cfg["ROI_HEAD"]
+        head_name = roi_cfg["NAME"]
+        if head_name == "SECONDHead":
+            head = roi_heads[head_name](
+                model_cfg=roi_cfg,
+                input_channels=batch_dict["spatial_features_2d"].shape[-1],
+                point_cloud_range=self.meta.point_cloud_range,
+                voxel_size=self.meta.voxel_size,
+                bev_stride=int(roi_cfg.get("BEV_STRIDE", 8)),
+                name="roi_head",
+            )
+        elif head_name == "VoxelRCNNHead":
+            head = roi_heads[head_name](
+                model_cfg=roi_cfg,
+                voxel_size=self.meta.voxel_size,
+                point_cloud_range=self.meta.point_cloud_range,
+                grid_size=self.meta.grid_size,
+                num_class=self.num_class,
+                name="roi_head",
+            )
         else:
-            raise NotImplementedError("ROI head over CenterHead not wired yet")
-        n_rois = int(cfg["ROI_HEAD"].get("NUM_ROIS", 128))
-        top_scores, idx = jax.lax.top_k(scores, n_rois)
-        rois = jnp.take_along_axis(box_preds, idx[..., None], axis=1)[..., :7]
-        batch_dict["rois"] = rois
-        batch_dict["roi_scores"] = top_scores
-        batch_dict["roi_labels"] = jnp.take_along_axis(labels, idx, axis=1)
-        head = roi_heads[cfg["ROI_HEAD"]["NAME"]](
-            model_cfg=cfg["ROI_HEAD"],
-            input_channels=batch_dict["spatial_features_2d"].shape[-1],
-            point_cloud_range=self.meta.point_cloud_range,
-            voxel_size=self.meta.voxel_size,
-            bev_stride=int(cfg["ROI_HEAD"].get("BEV_STRIDE", 8)),
-            name="roi_head",
-        )
+            head = roi_heads[head_name](
+                model_cfg=roi_cfg, num_class=self.num_class, name="roi_head"
+            )
         return head(batch_dict, training=training)
 
 
@@ -234,8 +362,10 @@ class DetectorBundle:
 
         self.anchors = None
         self.assigner = None
+        self.head_groups = None
         num_anchors_per_loc, fmap = 1, (0, 0)
         code_size = 7
+        extra_module_kwargs = {}
         if self.dense_head_name == "AnchorHeadSingle":
             gen = AnchorGenerator(
                 model_cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"],
@@ -249,8 +379,38 @@ class DetectorBundle:
             self.assigner = AxisAlignedTargetAssigner(
                 anchors, anchor_cls, m_thr, u_thr, self.box_coder
             )
+        elif self.dense_head_name == "AnchorHeadMulti":
+            # one independent anchor set + assigner per RPN_HEAD_CFGS group
+            # (reference anchor_head_multi.make_multihead)
+            self.box_coder = ResidualCoder(code_size=7)
+            code_size = self.box_coder.code_size
+            all_gen_cfgs = model_cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]
+            self.head_groups = [
+                list(h["HEAD_CLS_NAME"]) for h in model_cfg["DENSE_HEAD"]["RPN_HEAD_CFGS"]
+            ]
+            self.head_anchors, self.head_assigners = [], []
+            self.head_label_indices = []
+            head_num_anchors = []
+            for group in self.head_groups:
+                cfgs = [c for c in all_gen_cfgs if c["class_name"] in group]
+                # remap thresholds/classes into the LOCAL 1..nc_h space
+                gen = AnchorGenerator(cfgs, self.meta.point_cloud_range, self.meta.grid_size)
+                anchors, anchor_cls, m_thr, u_thr, fmap, napl = gen.generate()
+                self.head_anchors.append(jnp.asarray(anchors))
+                self.head_assigners.append(
+                    AxisAlignedTargetAssigner(anchors, anchor_cls, m_thr, u_thr, self.box_coder)
+                )
+                self.head_label_indices.append(
+                    np.asarray([self.meta.class_names.index(c) + 1 for c in group])
+                )
+                head_num_anchors.append(napl)
+            extra_module_kwargs = dict(
+                head_num_classes=tuple(len(g) for g in self.head_groups),
+                head_num_anchors=tuple(head_num_anchors),
+            )
         else:
             self.box_coder = None
+        self._extra_module_kwargs = extra_module_kwargs
 
         self.module = Detector3D(
             model_cfg=model_cfg,
@@ -261,16 +421,25 @@ class DetectorBundle:
             feature_map_size=tuple(fmap),
             anchors=np.asarray(self.anchors) if self.anchors is not None else None,
             box_coder_ref=self.box_coder,
+            multihead_kwargs=tuple(sorted(extra_module_kwargs.items())),
         )
         self.post_cfg = model_cfg.get("POST_PROCESSING", {})
         self.has_roi_head = model_cfg.get("ROI_HEAD", None) is not None
+        self.roi_box_coder = None
+        if self.has_roi_head and model_cfg["ROI_HEAD"].get("TARGET_CONFIG"):
+            self.roi_box_coder = ResidualCoder(code_size=7)
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, rng, example_batch):
         # jit the whole init: un-jitted tracing executes each op individually on
         # device (catastrophically slow over a remote-compile TPU tunnel)
-        init_fn = jax.jit(lambda rng, batch: self.module.init(rng, batch, training=True))
-        return init_fn(rng, example_batch)
+        def _init(rng, batch):
+            k1, k2, k3 = jax.random.split(rng, 3)
+            return self.module.init(
+                {"params": k1, "sampling": k2, "dropout": k3}, batch, training=True
+            )
+
+        return jax.jit(_init)(rng, example_batch)
 
     # -- training ------------------------------------------------------------
     def head_loss(self, out, gt_boxes, batch_size):
@@ -283,26 +452,79 @@ class DetectorBundle:
                 out, targets, self.anchors, self.model_cfg["DENSE_HEAD"],
                 self.num_class, self.box_coder,
             )
+        elif self.dense_head_name == "AnchorHeadMulti":
+            from ..dense_heads.anchor_head_multi import multi_head_loss
+
+            head_targets = [
+                a.assign(self._remap_gt_for_head(gt_boxes, gi))
+                for gi, a in enumerate(self.head_assigners)
+            ]
+            total, tb = multi_head_loss(
+                out, head_targets, self.head_anchors, self.model_cfg["DENSE_HEAD"],
+                [len(g) for g in self.head_groups], self.box_coder,
+            )
         elif self.dense_head_name == "CenterHead":
             total, tb = self._center_head_helper().get_loss(out, gt_boxes)
+        elif self.dense_head_name is None:
+            total, tb = 0.0, {}  # point-based detectors: losses come from heads
         else:
             raise NotImplementedError(self.dense_head_name)
         return self._add_roi_loss(out, gt_boxes, total, tb)
 
+    def _remap_gt_for_head(self, gt_boxes, gi):
+        """Remap global gt class ids (LAST column) to the head group's local
+        1..nc_h space; other classes become 0 (invalid)."""
+        group_ids = jnp.asarray(
+            [self.meta.class_names.index(c) + 1 for c in self.head_groups[gi]],
+            dtype=jnp.int32,
+        )
+        gcls = gt_boxes[..., -1].astype(jnp.int32)
+        eq = gcls[..., None] == group_ids
+        local = jnp.where(eq.any(-1), eq.argmax(-1) + 1, 0).astype(gt_boxes.dtype)
+        return jnp.concatenate([gt_boxes[..., :-1], local[..., None]], axis=-1)
+
     def _add_roi_loss(self, out, gt_boxes, total, tb):
+        if self.model_cfg.get("POINT_HEAD") and "point_cls_preds" in out:
+            ph_name = self.model_cfg["POINT_HEAD"].get("NAME")
+            if ph_name == "PointHeadBox":
+                from ..dense_heads.point_head_box import point_head_box_loss as ph_loss
+            elif ph_name == "PointHeadIntraPart":
+                from ..dense_heads.point_head_intra_part import (
+                    point_head_intra_part_loss as ph_loss,
+                )
+            else:
+                from ..dense_heads.point_head_simple import point_head_loss as ph_loss
+
+            p_loss, p_tb = ph_loss(
+                out, gt_boxes, self.model_cfg["POINT_HEAD"], self.num_class
+            )
+            total = total + p_loss
+            tb = {**tb, **p_tb}
         if self.has_roi_head and "roi_ious" in out:
             from ..roi_heads.second_head import second_head_loss
 
             iou_loss, iou_tb = second_head_loss(out, gt_boxes)
             w = float(self.model_cfg["ROI_HEAD"].get("IOU_LOSS_WEIGHT", 1.0))
             total = total + w * iou_loss
-            tb = {**tb, **iou_tb, "rpn_loss": total}
+            tb = {**tb, **iou_tb}
+        if self.roi_box_coder is not None and "rcnn_reg" in out and "rcnn_cls_labels" in out:
+            from ..roi_heads.roi_utils import roi_losses
+
+            rcnn_loss, rcnn_tb = roi_losses(
+                out, self.model_cfg["ROI_HEAD"]["LOSS_CONFIG"], self.roi_box_coder
+            )
+            total = total + rcnn_loss
+            tb = {**tb, **rcnn_tb}
+        tb = {**tb, "rpn_loss": total}
         return total, tb
 
-    def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",)):
+    def loss(self, variables, batch_dict, training=True, mutable=("batch_stats",), rng=None):
         """Returns (loss, (tb_dict, new_model_state)) — pure function."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(rng)
         out, new_state = self.module.apply(
-            variables, batch_dict, training=training, mutable=list(mutable)
+            variables, batch_dict, training=training, mutable=list(mutable),
+            rngs={"sampling": k1, "dropout": k2},
         )
         total, tb = self.head_loss(
             out, batch_dict["gt_boxes"], batch_dict.get("batch_size", batch_dict["points"].shape[0])
@@ -338,7 +560,17 @@ class DetectorBundle:
         post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 128))
         nms_thresh = float(nms_cfg.get("NMS_THRESH", 0.2))
 
-        if self.has_roi_head and "roi_ious" in out:
+        if self.roi_box_coder is not None and "rcnn_reg" in out:
+            # two-stage refinement path (PV-RCNN family): decode RoI-relative
+            # regression, score with the rcnn cls branch
+            from ..roi_heads.roi_utils import generate_predicted_boxes_roi
+
+            rcnn_cls, box_preds = generate_predicted_boxes_roi(
+                out["rois"], out["rcnn_cls"], out["rcnn_reg"], self.roi_box_coder
+            )
+            scores = jax.nn.sigmoid(rcnn_cls[..., 0]) * out["roi_mask"]
+            labels = out["roi_labels"]
+        elif self.has_roi_head and "roi_ious" in out:
             # SECOND-IoU rescoring path (reference second_net_iou post-processing)
             from ..roi_heads.second_head import rescore_detections
 
@@ -366,6 +598,13 @@ class DetectorBundle:
             scores_all = jax.nn.sigmoid(cls_logits)  # (B, N, nc)
             scores = scores_all.max(axis=-1)
             labels = scores_all.argmax(axis=-1) + 1
+        elif self.dense_head_name == "AnchorHeadMulti":
+            from ..dense_heads.anchor_head_multi import multi_head_predicted_boxes
+
+            box_preds, scores, labels = multi_head_predicted_boxes(
+                out, self.head_anchors, self.head_label_indices,
+                self.model_cfg["DENSE_HEAD"], self.box_coder,
+            )
         else:  # CenterHead
             box_preds, scores, labels = self._center_decode(out)
 

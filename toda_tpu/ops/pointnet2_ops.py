@@ -116,3 +116,32 @@ def query_and_group(radius, nsample, xyz, xyz_mask, new_xyz, new_xyz_mask, featu
     else:
         grouped = grouped_xyz
     return jnp.where(slot_valid[..., None], grouped, 0.0), slot_valid
+
+
+@partial(jax.jit, static_argnames=("nsample", "chunk"))
+def query_and_group_chunked(
+    radius, nsample, xyz, xyz_mask, new_xyz, new_xyz_mask, features=None, chunk=512
+):
+    """query_and_group with the (M, N) distance matrix bounded to (chunk, N).
+
+    The CUDA ball_query is O(M*N) compute but O(1) memory per thread; the naive
+    JAX version materializes (M, N), which at VSA scale (M=4k keypoints,
+    N=131k points) is GBs. Chunking the queries through lax.map bounds peak
+    memory while keeping each chunk a large vectorized op.
+    """
+    m = new_xyz.shape[0]
+    pad = (-m) % chunk
+    q = jnp.pad(new_xyz, ((0, pad), (0, 0)))
+    qm = jnp.pad(new_xyz_mask, (0, pad))
+    qs = q.reshape(-1, chunk, 3)
+    qms = qm.reshape(-1, chunk)
+
+    def one(args):
+        cq, cqm = args
+        return query_and_group(radius, nsample, xyz, xyz_mask, cq, cqm, features)
+
+    grouped, slot_valid = jax.lax.map(one, (qs, qms))
+    c = grouped.shape[-1]
+    grouped = grouped.reshape(-1, nsample, c)[:m]
+    slot_valid = slot_valid.reshape(-1, nsample)[:m]
+    return grouped, slot_valid

@@ -41,9 +41,12 @@ def make_train_step(bundle):
         batch = dict(batch)
         batch["batch_size"] = batch["points"].shape[0]
 
+        # per-step rng for RoI sampling / dropout, derived from the step counter
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+
         def loss_fn(params):
             total, (tb, new_model_state) = bundle.loss(
-                {"params": params, "batch_stats": state.batch_stats}, batch
+                {"params": params, "batch_stats": state.batch_stats}, batch, rng=step_rng
             )
             return total, (tb, new_model_state)
 
@@ -125,11 +128,17 @@ def train_model(
             batch_meter.update(time.time() - end)
             end = time.time()
             if logger and (it % max(total_its // 4, 1) == 0):
+                from ..utils import commu_utils
+
                 lr = float(schedule(accumulated_iter)) if schedule else 0.0
+                # per-iter timing averaged across ranks (reference
+                # train_utils.py:62-65 average_reduce_value)
+                data_avg = commu_utils.average_reduce_value(data_meter.avg)
+                batch_avg = commu_utils.average_reduce_value(batch_meter.avg)
                 logger.info(
                     "epoch %d it %d/%d loss %.4f lr %.2e data %.3fs batch %.3fs",
                     cur_epoch, it, total_its, float(tb["loss"]), lr,
-                    data_meter.avg, batch_meter.avg,
+                    data_avg, batch_avg,
                 )
             if tb_log is not None:
                 tb_log.add_scalar("train/loss", float(tb["loss"]), accumulated_iter)
