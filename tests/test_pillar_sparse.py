@@ -115,3 +115,55 @@ def test_voxelize_pillars_mean(rng):
         if pmask[i]:
             empty = counts[i] == 0
             assert (feats[i][empty] == 0).all()
+
+
+def test_inverse_conv_is_transpose_of_downsample():
+    """<conv(x), y>_coarse == <x, conv_T(y)>_fine for the stride-2 pair."""
+    import jax.numpy as jnp
+    from toda_tpu.ops.pillar_sparse import (
+        bev_downsample_sites,
+        bev_inv_neighbor_idx_sorted,
+        bev_neighbor_idx_sorted,
+        pillar_conv3d,
+        pillar_inv_conv3d,
+    )
+
+    rng = np.random.RandomState(0)
+    ny = nx = 16
+    nz, c, cout = 8, 3, 5
+    keys = np.sort(rng.choice(ny * nx, size=40, replace=False))
+    coords = np.stack([keys // nx, keys % nx], axis=-1).astype(np.int32)
+    p = 48
+    pad = p - len(coords)
+    coords = np.concatenate([coords, -np.ones((pad, 2), np.int32)])
+    mask = np.arange(p) < 40
+
+    coarse_coords, coarse_mask = bev_downsample_sites(
+        jnp.asarray(coords), jnp.asarray(mask), 2, 32, (ny, nx)
+    )
+    fwd_nbr = bev_neighbor_idx_sorted(
+        jnp.asarray(coords), jnp.asarray(mask), coarse_coords, coarse_mask,
+        (ny, nx), stride=2,
+    )
+    inv_nbr = bev_inv_neighbor_idx_sorted(
+        coarse_coords, coarse_mask, jnp.asarray(coords), jnp.asarray(mask),
+        (ny // 2, nx // 2),
+    )
+    w = jnp.asarray(rng.randn(3, 3, 3, c, cout).astype(np.float32))
+    x = jnp.asarray(rng.randn(p, nz, c).astype(np.float32))
+    x = x * np.asarray(mask)[:, None, None]
+    nz_c = nz // 2
+    y = jnp.asarray(rng.randn(32, nz_c, cout).astype(np.float32))
+    y = y * np.asarray(coarse_mask)[:, None, None]
+
+    fx = pillar_conv3d(x, fwd_nbr, w, coarse_mask, z_stride=2)  # (32, nz_c, cout)
+    # NOTE the inverse maps cout->...: transpose weights' channel dims and flip taps
+    w_t = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    # <conv(x), y> vs <x, conv_T(y)> — conv_T built from the SAME w via the
+    # inverse table (which already encodes the transposed correspondence, so
+    # weights are passed UNFLIPPED with swapped channels)
+    w_inv = w.transpose(0, 1, 2, 4, 3)
+    bx = pillar_inv_conv3d(y, inv_nbr, w_inv, jnp.asarray(mask), nz)
+    lhs = float((fx * y).sum())
+    rhs = float((x * bx).sum())
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0), (lhs, rhs)

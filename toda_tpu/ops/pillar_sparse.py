@@ -216,3 +216,107 @@ def pillars_to_dense(features, coords, mask, bev_shape):
         .set(features, mode="drop")
     )
     return dense.reshape(ny, nx, nz, c)
+
+
+@partial(jax.jit, static_argnames=("bev_shape", "stride"))
+def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
+                            stride=1):
+    """Neighbor table via binary search on the (sorted) input BEV keys.
+
+    Replaces build_bev_map + bev_neighbor_idx: the dense (ny*nx) slot map costs
+    a large scatter (XLA lowers it serially — profiled as a top step cost) and
+    a tiny-row gather; searchsorted with method='sort' rides lax.sort instead.
+    Requires in_coords ascending by BEV key (the voxelizer/downsampler
+    convention).
+    """
+    ny, nx = bev_shape
+    key = jnp.where(
+        in_mask, in_coords[:, 0] * nx + in_coords[:, 1], INT_MAX
+    ).astype(jnp.int32)
+    offs = jnp.asarray(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], dtype=jnp.int32
+    )
+    base = out_coords * stride
+    nb = base[:, None, :] + offs[None]
+    ok = (
+        (nb[..., 0] >= 0) & (nb[..., 0] < ny) & (nb[..., 1] >= 0) & (nb[..., 1] < nx)
+    ) & out_mask[:, None]
+    nbkey = jnp.where(ok, nb[..., 0] * nx + nb[..., 1], -1)
+    pos = jnp.searchsorted(key, nbkey.reshape(-1), method="sort").reshape(nbkey.shape)
+    pos = jnp.clip(pos, 0, key.shape[0] - 1)
+    hit = key[pos] == nbkey
+    return jnp.where(ok & hit, pos, -1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("coarse_bev_shape",))
+def bev_inv_neighbor_idx_sorted(coarse_coords, coarse_mask, fine_coords, fine_mask,
+                                coarse_bev_shape):
+    """Transposed-conv neighbor table: for each FINE site, the coarse input
+    slots of the 9 (dy, dx) taps of a k=3 s=2 p=1 conv — slot valid only when
+    fine = 2*coarse + d - 1 has an integral, in-bounds, active coarse solution.
+
+    Used by the UNet decoder's inverse sparse conv (reference
+    spconv.SparseInverseConv3d in pcdet/models/backbones_3d/spconv_unet.py).
+    Returns (P_fine, 9) int32, -1 = missing.
+    """
+    ny, nx = coarse_bev_shape
+    key = jnp.where(
+        coarse_mask, coarse_coords[:, 0] * nx + coarse_coords[:, 1], INT_MAX
+    ).astype(jnp.int32)
+    offs = jnp.asarray(
+        [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)], dtype=jnp.int32
+    )
+    num = fine_coords[:, None, :] - (offs[None] - 1)  # 2*coarse = fine - (d - 1)
+    integral = (num % 2 == 0).all(axis=-1)
+    o = num // 2
+    ok = (
+        integral
+        & (o[..., 0] >= 0) & (o[..., 0] < ny) & (o[..., 1] >= 0) & (o[..., 1] < nx)
+        & fine_mask[:, None]
+    )
+    nbkey = jnp.where(ok, o[..., 0] * nx + o[..., 1], -1)
+    pos = jnp.searchsorted(key, nbkey.reshape(-1), method="sort").reshape(nbkey.shape)
+    pos = jnp.clip(pos, 0, key.shape[0] - 1)
+    hit = key[pos] == nbkey
+    return jnp.where(ok & hit, pos, -1).astype(jnp.int32)
+
+
+def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_fine):
+    """Transposed 3x3x3 s=2 conv: coarse stage -> the (known) fine active set.
+
+    Args:
+        coarse_features: (P_c, nz_c, C)
+        inv_neighbor_idx: (P_f, 9) into P_c (from bev_inv_neighbor_idx_sorted)
+        weights: (3, 3, 3, C, Cout) in (dz, dy, dx) order
+        fine_mask: (P_f,)
+        nz_fine: fine z cell count (static)
+    Returns: (P_f, nz_fine, Cout)
+
+    z transpose: fine z = 2*zc + dz - 1 — implemented as static interleaved
+    adds (even slots from dz=1, odd from dz=0/2).
+    """
+    p_c, nz_c, c = coarse_features.shape
+    p_f = inv_neighbor_idx.shape[0]
+    cout = weights.shape[-1]
+    flat = jnp.pad(coarse_features.reshape(p_c, nz_c * c), ((0, 1), (0, 0)))
+
+    out = jnp.zeros((p_f, nz_fine, cout), dtype=coarse_features.dtype)
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        idx = inv_neighbor_idx[:, t]
+        g = jnp.take(flat, jnp.where(idx >= 0, idx, p_c), axis=0)
+        g = g.reshape(p_f, nz_c, c)
+        for dz in range(3):
+            vals = g @ weights[dz, dy, dx]  # (P_f, nz_c, Cout)
+            if dz == 1:  # zf = 2*zc (even slots)
+                n = min(nz_c, (nz_fine + 1) // 2)
+                out = out.at[:, 0 : 2 * n : 2, :].add(vals[:, :n])
+            else:  # zf = 2*zc + dz - 1 (odd slots)
+                zc0 = 1 if dz == 0 else 0  # dz=0: zf=2zc-1 needs zc>=1
+                zf0 = 2 * zc0 + dz - 1
+                n = min(nz_c - zc0, max((nz_fine - zf0 + 1) // 2, 0))
+                if n > 0:
+                    out = out.at[:, zf0 : zf0 + 2 * n : 2, :].add(
+                        vals[:, zc0 : zc0 + n]
+                    )
+    return jnp.where(fine_mask[:, None, None], out, 0.0)
