@@ -93,3 +93,101 @@ def test_mixup_cd_removes_collisions(rng):
          "gt_names": a["gt_names"].copy()}
     out = intra_domain_point_mixup_cd(a, b, rng=np.random.RandomState(5))
     assert len(out["gt_boxes"]) == len(a["gt_boxes"])  # b's duplicates dropped
+
+
+def test_polarmix_corner_inclusion_modes():
+    """Golden region-membership cases for corner/corner_del
+    (reference inter_domain_point_polarmix.swap :44-70)."""
+    from toda_tpu.datasets.processor.inter_domain_mix import polarmix
+
+    rng = np.random.RandomState(0)
+
+    class FixedRng:
+        """polarmix draws width (skipped for FIX) then start angle."""
+        def __init__(self, start):
+            self.start = start
+        def uniform(self, a, b):
+            return self.start
+        def randint(self, *a):
+            return 0
+
+    # sector [0, pi/3]; a source box straddling the sector edge (center
+    # outside, one corner inside at yaw slightly > 0)
+    edge_box = np.asarray([[10.0, -0.5, 0.0, 4.0, 3.0, 1.6, 0.0]], np.float32)
+    # center yaw = atan2(-0.5, 10) < 0 -> outside; corner at y=+1.0 -> inside
+    inside_pts = np.stack([np.full(50, 10.0), np.linspace(0.5, 1.0, 50),
+                           np.zeros(50), np.zeros(50)], axis=1).astype(np.float32)
+    far_pts = np.asarray([[-20.0, -20.0, 0.0, 0.0]], np.float32)
+    src = {"points": np.concatenate([inside_pts * [1, -1, 1, 1], far_pts]),
+           "gt_boxes": edge_box, "gt_names": np.asarray(["car"])}
+    tgt = {"points": far_pts.copy(), "gt_boxes": np.zeros((0, 7), np.float32),
+           "gt_names": np.asarray([])}
+
+    fr = FixedRng(0.0)
+    # center mode: box center outside sector -> box kept
+    out_center = polarmix(src, tgt, width_method="FIX", inc_method="center",
+                          instance_paste=False, rng=fr)
+    assert len(out_center["gt_boxes"]) == 1
+    # corner mode: ANY corner inside -> source box dropped
+    out_corner = polarmix(src, tgt, width_method="FIX", inc_method="corner",
+                          instance_paste=False, rng=fr)
+    assert len(out_corner["gt_boxes"]) == 0
+    # corner_del additionally removes the box's points (they were outside the
+    # sector so plain corner mode keeps them)
+    out_cd = polarmix(src, tgt, width_method="FIX", inc_method="corner_del",
+                      instance_paste=False, rng=fr)
+    assert len(out_cd["points"]) < len(out_corner["points"])
+
+
+def test_polarmix_pitch_band_transfer():
+    """use_pitch moves out-of-sector target points whose pitch is outside the
+    source pitch band (reference :80-94)."""
+    from toda_tpu.datasets.processor.inter_domain_mix import polarmix
+
+    class FixedRng:
+        def uniform(self, a, b):
+            return 0.0
+        def randint(self, *a):
+            return 0
+
+    # source points: pitch ~0 (flat)
+    src_pts = np.stack([np.linspace(5, 20, 100), np.full(100, -5.0),
+                        np.zeros(100), np.zeros(100)], axis=1).astype(np.float32)
+    # target: a steep-pitch point OUTSIDE the sector (yaw < 0)
+    steep = np.asarray([[5.0, -5.0, 8.0, 0.0]], np.float32)
+    flat_out = np.asarray([[5.0, -5.0, 0.0, 0.0]], np.float32)
+    empty = np.zeros((0, 7), np.float32)
+    src = {"points": src_pts, "gt_boxes": empty, "gt_names": np.asarray([])}
+    tgt = {"points": np.concatenate([steep, flat_out]), "gt_boxes": empty,
+           "gt_names": np.asarray([])}
+    out = polarmix(src, tgt, width_method="FIX", inc_method="center",
+                   use_pitch=True, instance_paste=False, rng=FixedRng())
+    # the steep point transferred, the flat out-of-sector one did not
+    zs = out["points"][:, 2]
+    assert (zs == 8.0).any()
+    out_nopitch = polarmix(src, tgt, width_method="FIX", inc_method="center",
+                           use_pitch=False, instance_paste=False, rng=FixedRng())
+    assert not (out_nopitch["points"][:, 2] == 8.0).any()
+
+
+def test_lasermix_corner_del():
+    """Partially-spanning boxes are dropped and their points deleted."""
+    from toda_tpu.datasets.processor.inter_domain_mix import lasermix
+
+    class FixedRng:
+        def randint(self, *a):
+            return 0
+
+    # spherical regions over pitch; a tall box whose corners span a region edge
+    box = np.asarray([[10.0, 0.0, 0.5, 2.0, 2.0, 4.0, 0.0]], np.float32)
+    in_box = np.asarray([[10.0, 0.0, 0.5, 0.0]], np.float32)
+    src = {"points": in_box, "gt_boxes": box, "gt_names": np.asarray(["car"])}
+    tgt = {"points": np.zeros((0, 4), np.float32),
+           "gt_boxes": np.zeros((0, 7), np.float32), "gt_names": np.asarray([])}
+    out = lasermix(src, tgt, mode="spherical", num_regions=8,
+                   pitch_range=(-0.5, 0.5), inc_method="corner_del", rng=FixedRng())
+    # box spans several pitch regions -> dropped, its point deleted
+    assert len(out["gt_boxes"]) == 0
+    center_out = lasermix(src, tgt, mode="spherical", num_regions=8,
+                          pitch_range=(-0.5, 0.5), inc_method="center", rng=FixedRng())
+    assert len(out["points"]) <= len(center_out["points"])

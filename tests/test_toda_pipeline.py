@@ -159,3 +159,40 @@ def test_reverse_boxes_jnp_roundtrip(rng):
     np.testing.assert_allclose(restored[:, :6], boxes[:, :6], atol=1e-3)
     dh = (restored[:, 6] - boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
     np.testing.assert_allclose(dh, 0, atol=1e-3)
+
+
+def test_voxel_perturb_roundtrip_survives_resampling():
+    """`_k` storage: generate -> store by voxel coords -> apply on a RESAMPLED
+    frame; deltas are nonzero inside pseudo boxes and zero outside
+    (VERDICT r1 item 8; reference generate_pseudo_labels_perturb_k)."""
+    import numpy as np
+    from toda_tpu.runtime.pseudo_label import lookup_voxel_perturb, voxelize_perturb
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-10, 10, (500, 4)).astype(np.float32)
+    boxes = np.asarray([[0.0, 0.0, 0.0, 6.0, 6.0, 20.0, 0.0]], np.float32)
+    perturb = np.sign(rng.randn(500, 3)).astype(np.float32)
+    vc, vp = voxelize_perturb(
+        pts, perturb, boxes, voxel_size=(0.5, 0.5, 0.5), pc_range=(-12, -12, -12)
+    )
+    assert len(vc) > 0
+    info = {
+        "p_voxel_coords": vc, "p_voxel_perturb": vp,
+        "p_voxel_size": np.asarray([0.5, 0.5, 0.5], np.float32),
+        "p_pc_range": np.asarray([-12, -12, -12], np.float32),
+    }
+    # exact resample (drop half the points): every survivor inside the box
+    # still finds its voxel's perturbation
+    resampled = pts[::2].copy()
+    delta = lookup_voxel_perturb(resampled, info)
+    inside = np.abs(resampled[:, :2]).max(axis=1) < 2.9
+    outside = np.abs(resampled[:, :2]).max(axis=1) > 4.0
+    assert (np.abs(delta[inside]).sum(axis=1) > 0).all()
+    assert np.abs(delta[outside]).sum() == 0.0
+
+    # jittered resample: most points still land in a covered voxel
+    jittered = resampled.copy()
+    jittered[:, :3] += rng.uniform(-0.1, 0.1, (len(jittered), 3)).astype(np.float32)
+    dj = lookup_voxel_perturb(jittered, info)
+    inside_j = np.abs(jittered[:, :2]).max(axis=1) < 2.5
+    assert (np.abs(dj[inside_j]).sum(axis=1) > 0).mean() > 0.3

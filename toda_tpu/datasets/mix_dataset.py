@@ -54,6 +54,11 @@ class CutMixDataset(DatasetTemplate):
         self.mix_prob = float(dataset_cfg.get("CUTMIX_PROB", 0.5))
         self.class_mapping = dataset_cfg.get("CLASS_MAPPING", None)  # e.g. all -> 'car'
         self.polarmix_width = dataset_cfg.get("POLARMIX_WIDTH_METHOD", "FIX")
+        # reference MIX_INC_METHOD / POLARMIX_* knobs
+        # (inter_domain_point_polarmix.py:44-94, inter_domain_point_lasermix.py:100-125)
+        self.inc_method = dataset_cfg.get("MIX_INC_METHOD", "center")
+        self.use_pitch = bool(dataset_cfg.get("POLARMIX_USE_PITCH", False))
+        self.lasermix_mode = dataset_cfg.get("LASERMIX_MODE", "spherical")
 
     def __len__(self):
         return len(self.source) + len(self.target)
@@ -83,7 +88,14 @@ class CutMixDataset(DatasetTemplate):
             tgt = self._augment_domain(self.target, tgt)
             kw = {}
             if self.mix_type == "polarmix":
-                kw = dict(train_percent=self.train_percent, width_method=self.polarmix_width)
+                kw = dict(
+                    train_percent=self.train_percent,
+                    width_method=self.polarmix_width,
+                    inc_method=self.inc_method,
+                    use_pitch=self.use_pitch,
+                )
+            elif self.mix_type == "lasermix":
+                kw = dict(mode=self.lasermix_mode, inc_method=self.inc_method)
             mixed = MIXERS[self.mix_type](src, tgt, **kw)
             data_dict = {**mixed, "frame_id": index}
             # domain augmentors already ran; skip the template augmentor
@@ -160,15 +172,22 @@ class MixUpDataset(DatasetTemplate):
         from ..utils import box_utils
 
         points = points.copy()
-        perturb = np.asarray(info["point_perturb"], dtype=np.float32)  # (P, 3) or (3,)
         member = box_utils.points_in_boxes_numpy(points, boxes[:, :7]).any(axis=0)
         mode = rng.randint(3)
-        if perturb.ndim == 1:
-            delta = np.broadcast_to(perturb[:3], (len(points), 3))
-        elif len(perturb) == len(points):
-            delta = perturb[:, :3]
-        else:  # stored per-point perturb no longer aligned (e.g. resampled frame)
-            delta = np.zeros((len(points), 3), dtype=np.float32)
+        if "p_voxel_coords" in info:
+            # robust voxel-coordinate storage (reference `_k` variant): attach
+            # each point's perturbation by its voxel cell — survives resampling
+            from ..runtime.pseudo_label import lookup_voxel_perturb
+
+            delta = lookup_voxel_perturb(points, info)
+        else:
+            perturb = np.asarray(info["point_perturb"], dtype=np.float32)
+            if perturb.ndim == 1:
+                delta = np.broadcast_to(perturb[:3], (len(points), 3))
+            elif len(perturb) == len(points):
+                delta = perturb[:, :3]
+            else:  # per-point perturb no longer aligned (resampled frame)
+                delta = np.zeros((len(points), 3), dtype=np.float32)
         if mode == 0:  # modify in place
             points[member, :3] += self.adv_alpha * delta[member, :3]
         elif mode == 1:  # add perturbed copies

@@ -99,8 +99,20 @@ def _sector_width_schedule(method, train_percent, base=np.pi / 3, rng=None):
 
 
 def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=True,
-             paste_rotations=(np.pi / 2,), rng=None):
-    """Azimuth-sector swap + instance rotate-paste."""
+             paste_rotations=(np.pi / 2,), inc_method="center", use_pitch=False,
+             rng=None):
+    """Azimuth-sector swap + instance rotate-paste.
+
+    inc_method (reference inter_domain_point_polarmix.swap :44-70):
+      center     — a box belongs to the sector iff its CENTER yaw is inside;
+      corner     — source boxes are removed if ANY corner is inside, target
+                   boxes are adopted only if ALL corners are inside;
+      corner_del — like corner, plus points of partially-included boxes are
+                   deleted from both scenes (no half-objects survive).
+    use_pitch (reference :80-94): additionally transfer target points OUTSIDE
+    the sector whose pitch falls outside the source scan's pitch band — moves
+    the target sensor's extra beams into the mixed scene.
+    """
     rng = rng or np.random
     sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
     tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
@@ -112,14 +124,49 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
         rel = (ang - start) % (2 * np.pi)
         return rel <= width
 
-    s_in = in_sector(_angles(sp))
-    t_in = in_sector(_angles(tp))
-    sb_in = in_sector(np.arctan2(sb[:, 1], sb[:, 0])) if len(sb) else np.zeros(0, bool)
-    tb_in = in_sector(np.arctan2(tb[:, 1], tb[:, 0])) if len(tb) else np.zeros(0, bool)
+    def corners_in_sector(boxes):
+        """(M, 8) per-corner sector membership on the BEV corners."""
+        if not len(boxes):
+            return np.zeros((0, 8), bool)
+        corners = box_utils.boxes_to_corners_3d(boxes[:, :7])[:, :, :2]
+        return in_sector(np.arctan2(corners[..., 1], corners[..., 0]))
 
-    points = np.concatenate([sp[~s_in], tp[t_in]])
-    boxes = np.concatenate([sb[~sb_in], tb[tb_in]])
-    names = np.concatenate([sn[~sb_in], tn[tb_in]])
+    if inc_method == "center":
+        sb_out = in_sector(np.arctan2(sb[:, 1], sb[:, 0])) if len(sb) else np.zeros(0, bool)
+        tb_in = in_sector(np.arctan2(tb[:, 1], tb[:, 0])) if len(tb) else np.zeros(0, bool)
+    elif inc_method in ("corner", "corner_del"):
+        s_c = corners_in_sector(sb)
+        t_c = corners_in_sector(tb)
+        sb_out = s_c.any(axis=1) if len(sb) else np.zeros(0, bool)  # drop if ANY corner in
+        tb_in = t_c.all(axis=1) if len(tb) else np.zeros(0, bool)  # adopt if ALL corners in
+        if inc_method == "corner_del":
+            s_partial = s_c.any(axis=1) & ~s_c.all(axis=1) if len(sb) else np.zeros(0, bool)
+            t_partial = t_c.any(axis=1) & ~t_c.all(axis=1) if len(tb) else np.zeros(0, bool)
+            if s_partial.any():
+                sp = box_utils.remove_points_in_boxes3d(sp, sb[s_partial][:, :7])
+            if t_partial.any():
+                tp = box_utils.remove_points_in_boxes3d(tp, tb[t_partial][:, :7])
+    else:
+        raise NotImplementedError(inc_method)
+
+    s_in = in_sector(_angles(sp))
+    t_take = in_sector(_angles(tp))
+    if use_pitch and len(sp):
+        s_rho = np.linalg.norm(sp[:, :2], axis=1)
+        t_rho = np.linalg.norm(tp[:, :2], axis=1)
+        s_pitch = _pitch(sp)[s_rho > 1]
+        if len(s_pitch):
+            t_pitch = _pitch(tp)
+            band_transfer = (
+                ~t_take
+                & (t_rho > 1)
+                & ((t_pitch < s_pitch.min()) | (t_pitch > s_pitch.max()))
+            )
+            t_take = t_take | band_transfer
+
+    points = np.concatenate([sp[~s_in], tp[t_take]])
+    boxes = np.concatenate([sb[~sb_out], tb[tb_in]])
+    names = np.concatenate([sn[~sb_out], tn[tb_in]])
 
     if instance_paste and len(tb):
         member = box_utils.points_in_boxes_numpy(tp, tb)
@@ -150,8 +197,14 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
 
 
 def lasermix(src, tgt, mode="spherical", num_regions=6, pitch_range=(-0.4, 0.2),
-             range_max=60.0, rng=None):
-    """Interleaved region swap: alternate regions come from alternate domains."""
+             range_max=60.0, inc_method="center", rng=None):
+    """Interleaved region swap: alternate regions come from alternate domains.
+
+    inc_method (reference inter_domain_point_lasermix.py:100-125 corner_del
+    branch): 'center' keeps a box iff its center region has the domain's
+    parity; 'corner_del' keeps it only if ALL its corners agree, and deletes
+    the points of partially-spanning boxes so no half-object survives.
+    """
     rng = rng or np.random
     sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
     tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
@@ -172,13 +225,31 @@ def lasermix(src, tgt, mode="spherical", num_regions=6, pitch_range=(-0.4, 0.2),
     def take(pts, parity):
         return region_of(pts) % 2 == parity
 
-    def box_take(boxes, parity):
+    def box_membership(boxes, parity):
+        """(kept_mask, partial_mask) under the configured inclusion rule."""
         if not len(boxes):
-            return np.zeros(0, bool)
-        return region_of(boxes[:, :3]) % 2 == parity
+            z = np.zeros(0, bool)
+            return z, z
+        if inc_method == "center":
+            kept = region_of(boxes[:, :3]) % 2 == parity
+            return kept, np.zeros(len(boxes), bool)
+        corners = box_utils.boxes_to_corners_3d(boxes[:, :7])  # (M, 8, 3)
+        par = region_of(corners.reshape(-1, 3)).reshape(len(boxes), 8) % 2 == parity
+        kept = par.all(axis=1)
+        partial = par.any(axis=1) & ~kept
+        return kept, partial
 
-    points = np.concatenate([sp[take(sp, offset)], tp[take(tp, 1 - offset)]])
-    sm, tm = box_take(sb, offset), box_take(tb, 1 - offset)
+    sm, s_partial = box_membership(sb, offset)
+    tm, t_partial = box_membership(tb, 1 - offset)
+    s_pts = sp[take(sp, offset)]
+    t_pts = tp[take(tp, 1 - offset)]
+    if inc_method == "corner_del":
+        if s_partial.any():
+            s_pts = box_utils.remove_points_in_boxes3d(s_pts, sb[s_partial][:, :7])
+        if t_partial.any():
+            t_pts = box_utils.remove_points_in_boxes3d(t_pts, tb[t_partial][:, :7])
+
+    points = np.concatenate([s_pts, t_pts])
     boxes = np.concatenate([sb[sm], tb[tm]])
     names = np.concatenate([sn[sm], tn[tm]])
     return {"points": points, "gt_boxes": boxes, "gt_names": names}

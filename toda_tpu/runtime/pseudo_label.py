@@ -95,8 +95,81 @@ def generate_pseudo_labels(
             }
             if perturb is not None:
                 info["point_perturb"] = perturb[i]
+                # voxel-coordinate storage (the reference's robust `_k` form,
+                # generate_pseudo_labels_perturb_k -> p_voxel_perturb /
+                # p_voxel_coords): survives point resampling because the adv
+                # dataset looks perturbations up by each point's voxel cell
+                pts_i = np.asarray(batch["points"][i])
+                mask_i = np.asarray(batch["points_mask"][i]).astype(bool)
+                vc, vp = voxelize_perturb(
+                    pts_i[mask_i], perturb[i][mask_i],
+                    info["gt_boxes"],
+                    voxel_size=dataset.voxel_size,
+                    pc_range=dataset.point_cloud_range,
+                )
+                info["p_voxel_coords"] = vc
+                info["p_voxel_perturb"] = vp
+                info["p_voxel_size"] = np.asarray(dataset.voxel_size, np.float32)
+                info["p_pc_range"] = np.asarray(dataset.point_cloud_range, np.float32)
             pseudo_infos.append(info)
     if logger:
         n_boxes = sum(len(p["gt_boxes"]) for p in pseudo_infos)
         logger.info("pseudo labels: %d frames, %d boxes", len(pseudo_infos), n_boxes)
     return pseudo_infos
+
+
+def voxelize_perturb(points, point_perturb, pseudo_boxes, voxel_size, pc_range):
+    """Aggregate per-point perturbations of points INSIDE pseudo boxes to their
+    voxel cells: returns (p_voxel_coords (V, 3) int32, p_voxel_perturb (V, 3)).
+
+    Reference `_k` semantics (generate_pseudo_labels_perturb_k: store
+    voxel-level perturbations keyed by voxel coords so a re-sampled frame can
+    re-attach them)."""
+    from ..utils import box_utils
+
+    if len(pseudo_boxes) == 0 or len(points) == 0:
+        return np.zeros((0, 3), np.int32), np.zeros((0, 3), np.float32)
+    member = box_utils.points_in_boxes_numpy(points, pseudo_boxes[:, :7]).any(axis=0)
+    pts = points[member]
+    per = np.asarray(point_perturb)[member][:, :3]
+    if len(pts) == 0:
+        return np.zeros((0, 3), np.int32), np.zeros((0, 3), np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    origin = np.asarray(pc_range[:3], np.float32)
+    ijk = np.floor((pts[:, :3] - origin) / vs).astype(np.int64)
+    in_grid = (ijk >= 0).all(axis=1) & (ijk < (1 << 20)).all(axis=1)
+    ijk, per = ijk[in_grid], per[in_grid]
+    if len(ijk) == 0:
+        return np.zeros((0, 3), np.int32), np.zeros((0, 3), np.float32)
+    key = (ijk[:, 2] * (1 << 20) + ijk[:, 1]) * (1 << 20) + ijk[:, 0]
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros((len(uniq), 3), np.float32)
+    np.add.at(sums, inv, per)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.float32)
+    mean = sums / counts[:, None]
+    coords = np.stack(
+        [uniq % (1 << 20), (uniq >> 20) % (1 << 20), uniq >> 40], axis=1
+    ).astype(np.int32)
+    return coords, mean
+
+
+def lookup_voxel_perturb(points, info):
+    """(N, 3+) points -> (N, 3) per-point perturbation looked up by voxel cell
+    (zero where the frame's stored voxels don't cover a point)."""
+    vc = np.asarray(info["p_voxel_coords"], np.int64)
+    vp = np.asarray(info["p_voxel_perturb"], np.float32)
+    if len(vc) == 0:
+        return np.zeros((len(points), 3), np.float32)
+    vs = np.asarray(info["p_voxel_size"], np.float32)
+    origin = np.asarray(info["p_pc_range"][:3], np.float32)
+    ijk = np.floor((points[:, :3] - origin) / vs).astype(np.int64)
+    key = (ijk[:, 2] * (1 << 20) + ijk[:, 1]) * (1 << 20) + ijk[:, 0]
+    vkey = (vc[:, 2] * (1 << 20) + vc[:, 1]) * (1 << 20) + vc[:, 0]
+    order = np.argsort(vkey)
+    vkey_sorted = vkey[order]
+    pos = np.searchsorted(vkey_sorted, key)
+    pos = np.clip(pos, 0, len(vkey_sorted) - 1)
+    hit = vkey_sorted[pos] == key
+    out = np.zeros((len(points), 3), np.float32)
+    out[hit] = vp[order][pos[hit]]
+    return out
