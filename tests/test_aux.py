@@ -67,3 +67,28 @@ def test_waymo_adapter(tmp_path, rng):
     assert pts.shape[1] == 5
     batch = next(iter(loader))
     assert batch["points"].shape == (2, 4096, 5)
+
+
+def test_all_configs_parse():
+    """Every YAML in the corpus parses through the inheritance chain and carries
+    the sections its kind requires."""
+    from pathlib import Path
+
+    from toda_tpu.config import EDict, cfg_from_yaml_file
+
+    root = Path("tools/cfgs")
+    count = 0
+    for path in sorted(root.rglob("*.yaml")):
+        if path.parent.name == "dataset_configs":
+            continue
+        cfg = cfg_from_yaml_file(str(path), EDict())
+        assert "DATA_CONFIG" in cfg, path
+        if path.parent.name != "pseudo_labels":
+            assert "MODEL" in cfg and "NAME" in cfg.MODEL, path
+        if path.parent.name.startswith("stage1"):
+            assert cfg.DATA_CONFIG.DATASET == "CutMixDataset", path
+            assert "MIX_TYPE" in cfg.DATA_CONFIG, path
+        if path.parent.name == "stage2_advmix":
+            assert cfg.DATA_CONFIG.DATASET == "MixUpDataset", path
+        count += 1
+    assert count >= 40, count

@@ -131,3 +131,68 @@ def test_gt_sampling(data_cfg, tmp_path):
     iou = box_utils.boxes3d_nearest_bev_iou(out["gt_boxes"][:, :7], out["gt_boxes"][:, :7])
     np.fill_diagonal(iou, 0)
     assert iou.max() < 0.05
+
+
+def test_dataloader_prefetch_matches_serial():
+    """Background-prefetch loader yields identical batches to the serial path
+    (deterministic dummy dataset; the synthetic fixture is stochastic per
+    __getitem__, which would confound the comparison)."""
+    import numpy as np
+
+    from toda_tpu.datasets import DataLoader
+
+    class Dummy:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return {"points": np.full((4, 3), float(i), np.float32)}
+
+        @staticmethod
+        def collate_batch(samples):
+            return {"points": np.stack([s["points"] for s in samples])}
+
+    serial = [
+        b["points"].copy()
+        for b in DataLoader(Dummy(), batch_size=2, drop_last=False, prefetch=0)
+    ]
+    threaded = [
+        b["points"].copy()
+        for b in DataLoader(Dummy(), batch_size=2, drop_last=False, prefetch=2)
+    ]
+    assert len(serial) == len(threaded) == 4
+    for a, b in zip(serial, threaded):
+        assert np.allclose(a, b)
+
+
+def test_shared_memory_db_mmap(tmp_path):
+    """USE_SHARED_MEMORY path: GT object points served from a consolidated
+    mmap-backed .npy (the /dev/shm SharedArray analog)."""
+    import numpy as np
+
+    from toda_tpu.config import EDict
+    from toda_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+
+    rng = np.random.RandomState(0)
+    all_pts = rng.randn(100, 4).astype(np.float32)
+    np.save(tmp_path / "gt_db.npy", all_pts)
+    infos = {
+        "car": [
+            {"name": "car", "box3d_lidar": np.asarray([0, 0, 0, 4, 2, 1.6, 0.0]),
+             "db_offset": 10, "num_points_in_gt": 20, "difficulty": 0},
+        ]
+    }
+    import pickle
+
+    with open(tmp_path / "dbinfos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = EDict({
+        "DB_INFO_PATH": ["dbinfos.pkl"],
+        "DB_DATA_PATH": ["gt_db.npy"],
+        "USE_SHARED_MEMORY": True,
+        "SAMPLE_GROUPS": ["car:1"],
+        "NUM_POINT_FEATURES": 4,
+    })
+    sampler = DataBaseSampler(tmp_path, cfg, ["car"])
+    pts = sampler._load_points(infos["car"][0])
+    assert np.allclose(pts, all_pts[10:30])

@@ -73,7 +73,9 @@ def merge_new_config(config, new_config):
     if "_BASE_CONFIG_" in new_config:
         with open(new_config["_BASE_CONFIG_"], "r") as f:
             yaml_config = yaml.safe_load(f)
-        config.update(EDict(yaml_config))
+        # the parent may itself carry (nested) _BASE_CONFIG_ entries — resolve
+        # them recursively before merging the child on top
+        config.update(merge_new_config(EDict(), EDict(yaml_config)))
 
     for key, val in new_config.items():
         if key == "_BASE_CONFIG_":

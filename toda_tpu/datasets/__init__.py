@@ -26,10 +26,16 @@ def _register_lazy():
 
 
 class DataLoader:
-    """Minimal epoch-based loader over a DatasetTemplate with static-shape collate."""
+    """Minimal epoch-based loader over a DatasetTemplate with static-shape collate.
+
+    prefetch > 0 runs __getitem__ + collate on a background thread with a
+    bounded queue, overlapping host preprocessing with the device step — the
+    analog of the reference's num_workers DataLoader processes
+    (pcdet/datasets/__init__.py:68-157), sized for TPU hosts with few cores.
+    """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=True,
-                 rank=0, world_size=1, seed=0):
+                 rank=0, world_size=1, seed=0, prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +43,7 @@ class DataLoader:
         self.rank = rank
         self.world_size = world_size
         self.seed = seed
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -66,15 +73,45 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _make_batch(self, idx, b):
+        chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+        if len(chunk) < self.batch_size and not self.drop_last:
+            chunk = np.concatenate([chunk, idx[: self.batch_size - len(chunk)]])
+        samples = [self.dataset[int(i)] for i in chunk]
+        return self.dataset.collate_batch(samples)
+
     def __iter__(self):
         idx = self._indices()
         nb = len(self)
-        for b in range(nb):
-            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(chunk) < self.batch_size and not self.drop_last:
-                chunk = np.concatenate([chunk, idx[: self.batch_size - len(chunk)]])
-            samples = [self.dataset[int(i)] for i in chunk]
-            yield self.dataset.collate_batch(samples)
+        if self.prefetch <= 0 or nb <= 1:
+            for b in range(nb):
+                yield self._make_batch(idx, b)
+            return
+
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    q.put(self._make_batch(idx, b))
+            except BaseException as e:  # surface errors on the consumer side
+                q.put(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logger=None, **kwargs):

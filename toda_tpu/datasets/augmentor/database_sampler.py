@@ -90,10 +90,22 @@ class DataBaseSampler:
     def _load_points(self, info):
         if "points" in info:
             return np.asarray(info["points"], dtype=np.float32)
+        num_feat = self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
+        # USE_SHARED_MEMORY analog (reference database_sampler.py:59-86 loads
+        # the whole GT DB into /dev/shm via SharedArray): a consolidated .npy
+        # opened with mmap_mode='r' shares one page-cache copy across every
+        # process on the host and avoids per-sample open() syscalls.
+        if "db_offset" in info and self.sampler_cfg.get("USE_SHARED_MEMORY", False):
+            if not hasattr(self, "_db_mmap"):
+                db_path = Path(self.sampler_cfg["DB_DATA_PATH"][0])
+                if not db_path.is_absolute() and self.root_path is not None:
+                    db_path = self.root_path / db_path
+                self._db_mmap = np.load(str(db_path), mmap_mode="r")
+            lo, n = int(info["db_offset"]), int(info["num_points_in_gt"])
+            return np.array(self._db_mmap[lo : lo + n, :num_feat], dtype=np.float32)
         file_path = Path(info["path"])
         if not file_path.is_absolute() and self.root_path is not None:
             file_path = self.root_path / info["path"]
-        num_feat = self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
         pts = np.fromfile(str(file_path), dtype=np.float32).reshape(-1, num_feat)
         return pts
 

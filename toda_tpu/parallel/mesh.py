@@ -28,6 +28,30 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
     return get_dist_info()
 
 
+def init_dist_slurm(port=29500):
+    """Derive the process group from the SLURM environment
+    (reference common_utils.init_dist_slurm :134-158: SLURM_PROCID /
+    SLURM_NTASKS / node list -> master addr). Returns (rank, world)."""
+    import os
+    import subprocess
+
+    if "SLURM_PROCID" not in os.environ:
+        return get_dist_info()
+    proc_id = int(os.environ["SLURM_PROCID"])
+    ntasks = int(os.environ["SLURM_NTASKS"])
+    if ntasks <= 1:
+        return get_dist_info()
+    node_list = os.environ["SLURM_NODELIST"]
+    addr = subprocess.getoutput(f"scontrol show hostname {node_list} | head -n1").strip()
+    port = int(os.environ.get("MASTER_PORT", port))
+    jax.distributed.initialize(
+        coordinator_address=f"{addr}:{port}",
+        num_processes=ntasks,
+        process_id=proc_id,
+    )
+    return get_dist_info()
+
+
 def get_dist_info():
     """(rank, world_size) in process terms (reference common_utils.py:179-198)."""
     return jax.process_index(), jax.process_count()

@@ -39,6 +39,8 @@ def parse_config():
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--slurm", action="store_true",
+                        help="derive the process group from SLURM_* env")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--eval_after_train", action="store_true")
@@ -52,7 +54,12 @@ def parse_config():
 
 def main():
     args, _ = parse_config()
-    init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+    if getattr(args, "slurm", False):
+        from toda_tpu.parallel.mesh import init_dist_slurm
+
+        init_dist_slurm()
+    else:
+        init_distributed(args.coordinator_address, args.num_processes, args.process_id)
     rank, world = get_dist_info()
     dist = world > 1
 
