@@ -92,3 +92,39 @@ def test_all_configs_parse():
             assert cfg.DATA_CONFIG.DATASET == "MixUpDataset", path
         count += 1
     assert count >= 40, count
+
+
+def test_waymo_aph_native():
+    """APH == AP for aligned headings; pi-flipped headings zero the heading
+    weight; LEVEL_1 excludes low-point gts."""
+    import numpy as np
+
+    from toda_tpu.utils.waymo_eval_native import waymo_eval
+
+    rng = np.random.RandomState(0)
+    gt, det_good, det_flip = [], [], []
+    for _ in range(6):
+        n = 8
+        boxes = np.zeros((n, 7), np.float32)
+        boxes[:, 0] = np.arange(n) * 12.0 - 40.0  # grid layout: no box overlap
+        boxes[:, 1] = rng.uniform(-3, 3, n)
+        boxes[:, 3:6] = [4.5, 2.0, 1.7]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        npts = np.full(n, 50); npts[-2:] = 2  # two LEVEL_2-only gts
+        gt.append({"boxes_lidar": boxes, "name": np.asarray(["vehicle"] * n),
+                   "difficulty": np.ones(n), "num_points_in_gt": npts})
+        scores = np.linspace(0.9, 0.5, n).astype(np.float32)
+        det_good.append({"boxes_lidar": boxes.copy(),
+                         "name": np.asarray(["vehicle"] * n), "score": scores})
+        flipped = boxes.copy(); flipped[:, 6] += np.pi
+        det_flip.append({"boxes_lidar": flipped,
+                         "name": np.asarray(["vehicle"] * n), "score": scores})
+
+    _, good = waymo_eval(det_good, gt, ["vehicle"])
+    assert good["vehicle_LEVEL_2/AP"] > 0.99
+    assert abs(good["vehicle_LEVEL_2/APH"] - good["vehicle_LEVEL_2/AP"]) < 1e-6
+    assert good["vehicle_LEVEL_1/AP"] > 0.99  # low-point gts excluded, still perfect
+
+    _, flip = waymo_eval(det_flip, gt, ["vehicle"])
+    assert flip["vehicle_LEVEL_2/AP"] > 0.99      # IoU unaffected by pi flip
+    assert flip["vehicle_LEVEL_2/APH"] < 0.01     # heading weight zero

@@ -143,3 +143,91 @@ def test_native_eval_shifted_predictions(fake_nuscenes):
     assert result["AP_car@0.5"] < 0.05
     assert result["AP_car@4.0"] > 0.95
     assert 0.3 < result["mAP"] < 0.7
+
+
+def test_devkit_free_info_generation(tmp_path):
+    """Raw-JSON nuScenes traversal: global->lidar box transform with a rotated
+    ego pose, finite-difference velocity, sweep transform chain, name mapping."""
+    import json
+
+    import numpy as np
+
+    from toda_tpu.datasets.nuscenes.nuscenes_utils import (
+        create_nuscenes_infos,
+        quat_to_rot,
+    )
+
+    version = "v1.0-mini"
+    base = tmp_path / version
+    base.mkdir(parents=True)
+    q_yaw90 = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]  # +90deg about z
+    q_id = [1.0, 0, 0, 0]
+
+    def write(name, rows):
+        (base / f"{name}.json").write_text(json.dumps(rows))
+
+    write("scene", [{"token": "sc0", "name": "scene-0061"}])
+    write("sensor", [{"token": "se0", "channel": "LIDAR_TOP", "modality": "lidar"}])
+    write("calibrated_sensor", [
+        {"token": "cs0", "sensor_token": "se0",
+         "translation": [1.0, 0.0, 2.0], "rotation": q_id},
+    ])
+    write("ego_pose", [
+        {"token": "ep0", "translation": [100.0, 50.0, 0.0], "rotation": q_yaw90},
+        {"token": "ep1", "translation": [100.0, 52.0, 0.0], "rotation": q_yaw90},
+    ])
+    write("sample", [
+        {"token": "s0", "scene_token": "sc0", "timestamp": 1_000_000},
+        {"token": "s1", "scene_token": "sc0", "timestamp": 1_500_000},
+    ])
+    write("sample_data", [
+        {"token": "sd_sweep", "sample_token": "s0", "is_key_frame": False,
+         "calibrated_sensor_token": "cs0", "ego_pose_token": "ep0",
+         "timestamp": 950_000, "filename": "sweep.bin", "prev": "", "next": "sd0"},
+        {"token": "sd0", "sample_token": "s0", "is_key_frame": True,
+         "calibrated_sensor_token": "cs0", "ego_pose_token": "ep0",
+         "timestamp": 1_000_000, "filename": "lidar0.bin", "prev": "sd_sweep",
+         "next": "sd1"},
+        {"token": "sd1", "sample_token": "s1", "is_key_frame": True,
+         "calibrated_sensor_token": "cs0", "ego_pose_token": "ep1",
+         "timestamp": 1_500_000, "filename": "lidar1.bin", "prev": "sd0", "next": ""},
+    ])
+    write("category", [{"token": "cat_car", "name": "vehicle.car"}])
+    write("instance", [{"token": "inst0", "category_token": "cat_car"}])
+    # object 10m ahead of the ego (global +y since ego faces +y after 90deg yaw)
+    write("sample_annotation", [
+        {"token": "a0", "sample_token": "s0", "instance_token": "inst0",
+         "category_token": "cat_car", "translation": [100.0, 60.0, 1.0],
+         "rotation": q_yaw90, "size": [2.0, 4.5, 1.7],
+         "num_lidar_pts": 42, "prev": "", "next": "a1"},
+        {"token": "a1", "sample_token": "s1", "instance_token": "inst0",
+         "category_token": "cat_car", "translation": [100.0, 62.0, 1.0],
+         "rotation": q_yaw90, "size": [2.0, 4.5, 1.7],
+         "num_lidar_pts": 40, "prev": "a0", "next": ""},
+    ])
+
+    train, val = create_nuscenes_infos(version, tmp_path, save_path=None, max_sweeps=3)
+    assert len(train) == 2 and len(val) == 0
+    info = train[0]
+    assert info["lidar_path"] == "lidar0.bin"
+    # geometry: ego at (100,50) yaw 90deg; sensor +1m along ego-x; object at
+    # global (100, 60) -> ego frame (10, 0) -> sensor frame (9, 0)
+    box = np.asarray(info["gt_boxes"][0])
+    assert np.allclose(box[:3], [9.0, 0.0, -1.0], atol=1e-5)
+    # size (w=2, l=4.5, h=1.7) -> (dx=l, dy=w, dz=h)
+    assert np.allclose(box[3:6], [4.5, 2.0, 1.7], atol=1e-6)
+    # object yaw 90deg global == ego heading -> 0 in lidar frame
+    assert abs(box[6]) < 1e-5
+    # velocity: +2m global-y over 0.5s = 4 m/s along ego-x -> vx=4
+    assert np.allclose(box[7:9], [4.0, 0.0], atol=1e-4)
+    assert info["gt_names"][0] == "car"
+    assert info["num_lidar_pts"][0] == 42
+    # the sweep rides the prev chain with a composed transform
+    assert len(info["sweeps"]) == 1
+    sw = info["sweeps"][0]
+    assert sw["lidar_path"] == "sweep.bin"
+    assert abs(sw["time_lag"] - 0.05) < 1e-6
+    # same pose for sweep and ref -> identity transform
+    assert np.allclose(sw["transform_matrix"], np.eye(4), atol=1e-6)
+    # quaternion helper sanity
+    assert np.allclose(quat_to_rot(q_id), np.eye(3))

@@ -133,3 +133,24 @@ class TestMultiClassNMS:
         # overlapping same-class pairs suppressed; one survivor each + singles
         assert (kept == 1).sum() == 2  # box0 + box4
         assert (kept == 2).sum() == 2  # box2 + box5
+
+
+def test_rotated_iou_far_from_origin():
+    """Self-IoU of rotated boxes stays ~1 at scene-scale coordinates (f32
+    rounding at |xy|~50m broke the fixed-epsilon inside test)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toda_tpu.ops.rotated_iou import boxes_iou3d, boxes_iou_bev
+
+    rng = np.random.RandomState(3)
+    n = 64
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = rng.uniform(-50, 50, n)
+    boxes[:, 1] = rng.uniform(-50, 50, n)
+    boxes[:, 2] = rng.uniform(-2, 1, n)
+    boxes[:, 3:6] = rng.uniform(0.5, 5.0, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    for fn in (boxes_iou_bev, boxes_iou3d):
+        diag = np.diag(np.asarray(fn(jnp.asarray(boxes), jnp.asarray(boxes))))
+        assert (diag > 0.98).all(), diag.min()

@@ -189,13 +189,9 @@ class NuScenesDataset(DatasetTemplate):
         return db, sorted(subset.tolist())
 
 
-def create_nuscenes_infos(version, data_path, save_path, max_sweeps=10):
-    """Info generation from raw nuScenes — requires the devkit."""
-    try:
-        from nuscenes.nuscenes import NuScenes  # noqa
-    except ImportError as e:
-        raise ImportError(
-            "nuscenes-devkit is required to generate infos from raw data; "
-            "precomputed OpenPCDet-style info pkls load without it"
-        ) from e
-    raise NotImplementedError("port the devkit traversal when the devkit is available")
+def create_nuscenes_infos(version, data_path, save_path, max_sweeps=10, **kwargs):
+    """Info generation from raw nuScenes — devkit-free (the raw data is plain
+    JSON tables; see nuscenes_utils.create_nuscenes_infos)."""
+    from .nuscenes_utils import create_nuscenes_infos as _impl
+
+    return _impl(version, data_path, save_path, max_sweeps=max_sweeps, **kwargs)

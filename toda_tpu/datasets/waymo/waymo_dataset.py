@@ -85,29 +85,28 @@ class WaymoDataset(DatasetTemplate):
         )
 
     def evaluation(self, det_annos, class_names, eval_metric="kitti", **kwargs):
-        if eval_metric == "waymo":
-            try:
-                from waymo_open_dataset.metrics.python import detection_metrics  # noqa
-            except ImportError as e:
-                raise ImportError(
-                    "official Waymo APH metrics need tensorflow + waymo_open_dataset; "
-                    "use eval_metric='kitti' for the rotated-IoU AP backend"
-                ) from e
-            raise NotImplementedError("wire detection_metrics when TF is available")
-        from ...utils.kitti_eval_native import kitti_eval
-
         gt_annos = []
         for info in self.infos:
             annos = info.get("annos", {})
-            gt_annos.append(
-                {
-                    "boxes_lidar": np.asarray(annos.get("gt_boxes_lidar", np.zeros((0, 7))))[:, :7],
-                    "name": np.asarray([str(n).lower() for n in annos.get("name", [])]),
-                }
-            )
+            g = {
+                "boxes_lidar": np.asarray(annos.get("gt_boxes_lidar", np.zeros((0, 7))))[:, :7],
+                "name": np.asarray([str(n).lower() for n in annos.get("name", [])]),
+            }
+            for k in ("difficulty", "num_points_in_gt"):
+                if k in annos:
+                    g[k] = np.asarray(annos[k])
+            gt_annos.append(g)
         det_annos = [
             dict(d, name=np.asarray([str(n).lower() for n in d["name"]])) for d in det_annos
         ]
+        if eval_metric == "waymo":
+            # native AP/APH (replaces the reference's TF detection_metrics op;
+            # toda_tpu/utils/waymo_eval_native.py)
+            from ...utils.waymo_eval_native import waymo_eval
+
+            return waymo_eval(det_annos, gt_annos, [c.lower() for c in class_names])
+        from ...utils.kitti_eval_native import kitti_eval
+
         return kitti_eval(det_annos, gt_annos, [c.lower() for c in class_names])
 
     def create_groundtruth_database(self, used_classes=None, out_path=None):

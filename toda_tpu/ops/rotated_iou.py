@@ -35,7 +35,16 @@ def _box_corners_bev(boxes):
 
 def _pairwise_intersection_area(corners_a, corners_b):
     """Area of intersection of convex quads. corners_*: (..., 4, 2) -> (...,)."""
-    # --- corners of A strictly inside B (and vice versa) -------------------
+    # center each pair at its mean corner: f32 cross products at raw scene
+    # coordinates (|xy| ~ 50 m) carry ~1e-5 absolute rounding, which a fixed
+    # 1e-8 epsilon misreads — identical far-from-origin boxes came back with
+    # IoU 0 (caught by test_ops_geometry far-origin regression)
+    mid = (corners_a.mean(axis=-2, keepdims=True) + corners_b.mean(axis=-2, keepdims=True)) / 2
+    corners_a = corners_a - mid
+    corners_b = corners_b - mid
+    _EPS_IN = 1e-4  # boundary tolerance for the (now box-scale) coordinates
+
+    # --- corners of A inside B (and vice versa) ----------------------------
     def points_in_quad(pts, quad):
         # pts (..., P, 2), quad (..., 4, 2) CCW -> (..., P) bool
         a = quad  # (..., 4, 2)
@@ -43,7 +52,7 @@ def _pairwise_intersection_area(corners_a, corners_b):
         edge = b - a  # (..., 4, 2)
         rel = pts[..., :, None, :] - a[..., None, :, :]  # (..., P, 4, 2)
         cross = edge[..., None, :, 0] * rel[..., 1] - edge[..., None, :, 1] * rel[..., 0]
-        return (cross >= -_EPS).all(axis=-1)
+        return (cross >= -_EPS_IN).all(axis=-1)
 
     in_b = points_in_quad(corners_a, corners_b)  # (..., 4)
     in_a = points_in_quad(corners_b, corners_a)  # (..., 4)
