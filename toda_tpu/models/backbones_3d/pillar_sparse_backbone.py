@@ -18,6 +18,7 @@ import numpy as np
 
 from ...ops.pillar_sparse import (
     bev_downsample_sites,
+    bev_inv_neighbor_idx_sorted,
     bev_neighbor_idx,
     build_bev_map,
     pillar_conv3d,
@@ -31,9 +32,11 @@ class PillarConvLayer(nn.Module):
     out_channels: int
     z_stride: int = 1
     use_relu: bool = True
+    identity_tap: int = -1  # 4 for stride-1 submanifold convs (center = self)
 
     @nn.compact
-    def __call__(self, features, neighbor_idx, out_mask, training=False):
+    def __call__(self, features, neighbor_idx, out_mask, training=False,
+                 inv_neighbor_idx=None):
         # features (B, P_in, nz, C); neighbor_idx (B, P_out, 9); out_mask (B, P_out)
         c = features.shape[-1]
         w = self.param(
@@ -41,8 +44,10 @@ class PillarConvLayer(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (3, 3, 3, c, self.out_channels),
         )
-        out = jax.vmap(pillar_conv3d, in_axes=(0, 0, None, 0, None))(
-            features, neighbor_idx, w.astype(features.dtype), out_mask, self.z_stride
+        out = pillar_conv3d(
+            features, neighbor_idx, w.astype(features.dtype), out_mask,
+            self.z_stride, self.identity_tap if self.identity_tap >= 0 else None,
+            inv_neighbor_idx,
         )
         zmask = jnp.broadcast_to(out_mask[:, :, None], out.shape[:3])
         out = MaskedBatchNorm(name="bn")(out, zmask, training=training)
@@ -62,19 +67,27 @@ class PillarSubMBlock(nn.Module):
         nbr = jax.vmap(lambda oc, om, bm: bev_neighbor_idx(oc, om, bm, bev_shape, 1))(
             coords, mask, bmap
         )
+        # submanifold conv on the key-sorted set: inverse of tap t is the
+        # mirrored tap 8-t on the same table (i's (8-t)-neighbor is j iff
+        # j's t-neighbor is i)
+        inv = nbr[..., ::-1]
         x = features
         if self.residual:
             identity = x
-            x = PillarConvLayer(self.out_channels, name="conv1")(x, nbr, mask, training)
-            x = PillarConvLayer(self.out_channels, use_relu=False, name="conv2")(
-                x, nbr, mask, training
+            x = PillarConvLayer(self.out_channels, identity_tap=4, name="conv1")(
+                x, nbr, mask, training, inv
             )
+            x = PillarConvLayer(
+                self.out_channels, use_relu=False, identity_tap=4, name="conv2"
+            )(x, nbr, mask, training, inv)
             if identity.shape[-1] != self.out_channels:
                 identity = nn.Dense(self.out_channels, use_bias=False, name="proj")(identity)
             x = jnp.where(mask[..., None, None], nn.relu(x + identity), 0.0)
         else:
             for i in range(self.num_layers):
-                x = PillarConvLayer(self.out_channels, name=f"subm{i}")(x, nbr, mask, training)
+                x = PillarConvLayer(self.out_channels, identity_tap=4, name=f"subm{i}")(
+                    x, nbr, mask, training, inv
+                )
         return x
 
 
@@ -130,7 +143,15 @@ class _PillarBackboneBase(nn.Module):
             nbr = jax.vmap(
                 lambda oc, om, bm: bev_neighbor_idx(oc, om, bm, bev_shape, 2)
             )(new_coords, new_mask, bmap)
-            x = PillarConvLayer(ch, z_stride=2, name=f"down{si}")(x, nbr, new_mask, training)
+            coarse_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
+            inv = jax.vmap(
+                lambda cc, cm, fc, fm: bev_inv_neighbor_idx_sorted(
+                    cc, cm, fc, fm, coarse_shape
+                )
+            )(new_coords, new_mask, coords, mask)
+            x = PillarConvLayer(ch, z_stride=2, name=f"down{si}")(
+                x, nbr, new_mask, training, inv
+            )
             coords, mask = new_coords, new_mask
             bev_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
             cur_nz = -(-cur_nz // 2)

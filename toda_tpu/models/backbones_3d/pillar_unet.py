@@ -41,7 +41,7 @@ class PillarInvConvLayer(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (3, 3, 3, c, self.out_channels),
         )
-        out = jax.vmap(pillar_inv_conv3d, in_axes=(0, 0, None, 0, None))(
+        out = pillar_inv_conv3d(
             features, inv_nbr, w.astype(features.dtype), fine_mask, self.nz_fine
         )
         zmask = jnp.broadcast_to(fine_mask[:, :, None], out.shape[:3])

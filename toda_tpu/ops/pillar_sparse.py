@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .pallas_gather import gather_rows, gather_rows_taps
+
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -133,52 +135,197 @@ def bev_neighbor_idx(out_coords, out_mask, bev_map, bev_shape, stride=1):
     return jnp.where(ok, idx, -1)
 
 
-def pillar_conv3d(features, neighbor_idx, weights, out_mask, z_stride=1):
-    """3x3x3 conv: 9 wide-row BEV gathers + z-window slices + 9 GEMMs.
+def invert_neighbor_idx(neighbor_idx, p_in):
+    """Generic inverse of per-tap neighbor tables via scatter.
 
-    Args:
-        features: (P_in, nz, C)
-        neighbor_idx: (P_out, 9) into P_in (-1 = missing -> zero contribution)
-        weights: (3, 3, 3, C, Cout) in (dz, dy, dx) order
-        out_mask: (P_out,)
-        z_stride: 1 or 2 (z downsampling; SAME-style pad 1)
-    Returns: (P_out, nz_out, Cout), nz_out = ceil(nz / z_stride)
+    neighbor_idx (..., P_out, T) -> (..., P_in, T) where inv[i, t] = the j
+    with neighbor_idx[j, t] == i, else -1. Valid because each tap's map is
+    injective (distinct outputs have distinct tap-t inputs). Slow path — the
+    backbone supplies analytic inverses (tap mirroring / coarse searchsorted).
     """
-    p_in, nz, c = features.shape
-    p_out = neighbor_idx.shape[0]
-    cout = weights.shape[-1]
+    t = neighbor_idx.shape[-1]
+    p_out = neighbor_idx.shape[-2]
+
+    def one(idx):
+        j = jnp.arange(p_out, dtype=jnp.int32)
+        safe = jnp.where(idx >= 0, idx, p_in)
+        return jnp.full((p_in + 1,), -1, jnp.int32).at[safe].set(j, mode="drop")[:p_in]
+
+    flat = neighbor_idx.reshape(-1, p_out, t)
+    inv = jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1))(flat)
+    return inv.reshape(neighbor_idx.shape[:-2] + (p_in, t))
+
+
+def _grouped_gathers(table, idx9, identity_tap):
+    """Yield (tap, gathered rows) with taps grouped by BEV row offset (dy):
+    a group's 3 taps differ only by +-1 column, so one fused window DMA
+    serves all three with a tight (~block-sized) span."""
+    out = []
+    for grp_base in (0, 3, 6):
+        grp = [t for t in range(grp_base, grp_base + 3) if t != identity_tap]
+        if not grp:
+            continue
+        gs = gather_rows_taps(table, idx9[:, :, grp])
+        out.extend(zip(grp, gs))
+    return out
+
+
+def _conv_fwd_impl(features, weights, neighbor_idx, out_mask, z_stride, identity_tap):
+    bt, p_in, nz, c = features.shape
+    p_out = neighbor_idx.shape[1]
     nz_out = -(-nz // z_stride)
     w = (nz + 2) * c
+    wpad = -(-w // 128) * 128
 
-    # z halo, then flatten (z, c) so each gather row is a CONTIGUOUS (nz+2)*C
-    # block — 3D take operands get a pillar-minor layout on TPU and the gather
-    # then strides across the whole array (measured 6 GB/s; see git history).
-    # A zero sentinel row at slot p_in absorbs missing neighbors with no
-    # masking pass. The z taps fold into a conv1d over the gathered rows —
-    # implicit windows, K=3C MXU GEMM per tap, nothing materialized.
-    # (Measured alternatives that LOST: lax.gather with slice_sizes=(3, w)
-    # (serial lowering, 15x slower); materialized overlapping 3-row windows +
-    # one wide take (extra 3x HBM traffic, ~3x slower end to end); 27 per-dz
-    # einsums (3x slice re-reads).)
-    padded = jnp.pad(features, ((0, 1), (1, 1), (0, 0)))  # +1 zero pillar row
-    flat = padded.reshape(p_in + 1, w)
-    acc = None
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        idx = neighbor_idx[:, t]
-        g = jnp.take(flat, jnp.where(idx >= 0, idx, p_in), axis=0)
-        g = g.reshape(p_out, nz + 2, c)
+    halo = jnp.pad(features, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    flat = halo.reshape(bt, p_in, w)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, wpad - w)))
+
+    def tap_conv(g, dy, dx):
+        g = g[..., :w].reshape(-1, nz + 2, c)
         # NOTE: no preferred_element_type — its VJP makes an f32 cotangent meet
         # bf16 operands in the conv transpose; TPU MXU accumulates f32 anyway.
-        contrib = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             g,
             weights[:, dy, dx],  # (3, C, Cout)
             window_strides=(z_stride,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
+
+    acc = None
+    for t, g in _grouped_gathers(flat, neighbor_idx, identity_tap):
+        contrib = tap_conv(g, *divmod(t, 3))
         acc = contrib if acc is None else acc + contrib
-    return jnp.where(out_mask[:, None, None], acc, 0.0)
+    if identity_tap is not None:
+        acc = acc + tap_conv(flat, *divmod(identity_tap, 3))
+    acc = acc.reshape(bt, p_out, nz_out, -1)
+    return jnp.where(out_mask[:, :, None, None], acc, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _pillar_conv3d_core(features, weights, neighbor_idx, inv_idx, out_mask,
+                        z_stride, identity_tap):
+    return _conv_fwd_impl(features, weights, neighbor_idx, out_mask, z_stride,
+                          identity_tap)
+
+
+def _core_fwd(features, weights, neighbor_idx, inv_idx, out_mask, z_stride,
+              identity_tap):
+    out = _conv_fwd_impl(features, weights, neighbor_idx, out_mask, z_stride,
+                         identity_tap)
+    return out, (features, weights, neighbor_idx, inv_idx, out_mask)
+
+
+def _core_bwd(z_stride, identity_tap, res, ob):
+    """Backward with NO scatter: each tap's transpose is a gather by the
+    tap's inverse table (the maps are injective), and the gather commutes
+    with the per-row z-transpose — so the whole features-cotangent is one
+    more fused multi-tap gather on the output cotangent.
+    """
+    features, weights, neighbor_idx, inv_idx, out_mask = res
+    bt, p_in, nz, c = features.shape
+    p_out, cout = neighbor_idx.shape[1], weights.shape[-1]
+    nz_out = -(-nz // z_stride)
+    w = (nz + 2) * c
+    wpad = -(-w // 128) * 128
+    w2 = nz_out * cout
+    w2pad = -(-w2 // 128) * 128
+
+    ob = jnp.where(out_mask[:, :, None, None], ob, 0).astype(features.dtype)
+    obflat = jnp.pad(ob.reshape(bt, p_out, w2), ((0, 0), (0, 0), (0, w2pad - w2)))
+
+    def tap_conv_of_g(g_flat2, dy, dx, wts):
+        g = g_flat2[..., :w].reshape(-1, nz + 2, c)
+        return jax.lax.conv_general_dilated(
+            g, wts[:, dy, dx], window_strides=(z_stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+
+    g_struct = jax.ShapeDtypeStruct((bt, p_in, wpad), features.dtype)
+    halo = jnp.pad(features, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    flat = jnp.pad(halo.reshape(bt, p_in, w), ((0, 0), (0, 0), (0, wpad - w)))
+
+    # ---- ONE fused gather of ob by the inverse tables feeds BOTH cotangents:
+    #   features: x_bar = sum_t C_t^T(gob_t)   (gather commutes with the
+    #       per-row z-transpose, and scatter-by-idx == gather-by-inverse)
+    #   weights:  sum_m g_t[m] (x) ob[m] == sum_i x[i] (x) gob_t[i]
+    #       (injectivity) — so no forward-gather recompute is needed.
+    acc_flat = None
+    wbar = jnp.zeros_like(weights)
+
+    def accumulate(t, gob_r, acc_flat, wbar):
+        dy, dx = divmod(t, 3)
+        fT = jax.linear_transpose(
+            lambda gf: tap_conv_of_g(gf, dy, dx, weights), g_struct
+        )
+        (gbar,) = fT(gob_r)
+        acc_flat = gbar if acc_flat is None else acc_flat + gbar
+        _, vjp_w = jax.vjp(lambda wt: tap_conv_of_g(flat, dy, dx, wt), weights)
+        wbar = wbar + vjp_w(gob_r)[0]
+        return acc_flat, wbar
+
+    for t, gob in _grouped_gathers(obflat, inv_idx, identity_tap):
+        acc_flat, wbar = accumulate(
+            t, gob[..., :w2].reshape(-1, nz_out, cout), acc_flat, wbar
+        )
+    if identity_tap is not None:
+        acc_flat, wbar = accumulate(
+            identity_tap, ob.reshape(-1, nz_out, cout), acc_flat, wbar
+        )
+    fbar = acc_flat[..., :w].reshape(bt, p_in, nz + 2, c)[:, :, 1:-1, :]
+
+    return fbar.astype(features.dtype), wbar, None, None, None
+
+
+_pillar_conv3d_core.defvjp(_core_fwd, _core_bwd)
+
+
+def pillar_conv3d(features, neighbor_idx, weights, out_mask, z_stride=1,
+                  identity_tap=None, inv_neighbor_idx=None):
+    """3x3x3 conv: 9 wide-row BEV gathers + z-window slices + 9 GEMMs.
+
+    Args:
+        features: (P_in, nz, C) or batched (B, P_in, nz, C)
+        neighbor_idx: (P_out, 9) / (B, P_out, 9) into P_in (-1 = missing)
+        weights: (3, 3, 3, C, Cout) in (dz, dy, dx) order
+        out_mask: (P_out,) / (B, P_out)
+        z_stride: 1 or 2 (z downsampling; SAME-style pad 1)
+        identity_tap: tap index whose neighbor map is the identity (the center
+            tap of a stride-1 submanifold conv) — skips that gather entirely.
+        inv_neighbor_idx: (P_in, 9) / (B, P_in, 9) per-tap inverse tables
+            (inv[i, t] = j with neighbor_idx[j, t] == i). Derived by scatter
+            when absent; the backbone passes analytic inverses (mirrored taps
+            for submanifold convs, coarse searchsorted for strided ones).
+    Returns: (P_out, nz_out, Cout) / (B, ...), nz_out = ceil(nz / z_stride)
+
+    The gathers ride ops/pallas_gather.gather_rows_taps: per-tap neighbor
+    indices are monotone over the key-sorted pillar sets, so each 128-row
+    block of ALL NINE taps reads one contiguous window — one span-DMA + nine
+    one-hot MXU matmuls instead of XLA's ~60 ns/row serial gathers. The
+    backward pass is the same shape (see _core_bwd): no scatter anywhere.
+    Rows are padded to a lane multiple (128) because Mosaic HBM slices must
+    be lane-aligned; the conv's GEMM never sees the pad.
+
+    Replaces spconv's CUDA rulebook gather-GEMM-scatter (reference
+    pcdet/models/backbones_3d/spconv_backbone.py via spconv.SubMConv3d).
+    """
+    if features.ndim == 3:  # unbatched convenience form (tests, small tools)
+        return pillar_conv3d(
+            features[None],
+            neighbor_idx[None],
+            weights,
+            out_mask[None],
+            z_stride,
+            identity_tap,
+            None if inv_neighbor_idx is None else inv_neighbor_idx[None],
+        )[0]
+    if inv_neighbor_idx is None:
+        inv_neighbor_idx = invert_neighbor_idx(neighbor_idx, features.shape[1])
+    return _pillar_conv3d_core(
+        features, weights, neighbor_idx, inv_neighbor_idx, out_mask,
+        z_stride, identity_tap,
+    )
 
 
 @partial(jax.jit, static_argnames=("stride", "max_out", "bev_shape"))
@@ -295,28 +442,34 @@ def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_
     z transpose: fine z = 2*zc + dz - 1 — implemented as static interleaved
     adds (even slots from dz=1, odd from dz=0/2).
     """
-    p_c, nz_c, c = coarse_features.shape
-    p_f = inv_neighbor_idx.shape[0]
+    if coarse_features.ndim == 3:
+        return pillar_inv_conv3d(
+            coarse_features[None], inv_neighbor_idx[None], weights,
+            fine_mask[None], nz_fine,
+        )[0]
+    bt, p_c, nz_c, c = coarse_features.shape
+    p_f = inv_neighbor_idx.shape[1]
     cout = weights.shape[-1]
-    flat = jnp.pad(coarse_features.reshape(p_c, nz_c * c), ((0, 1), (0, 0)))
+    w = nz_c * c
+    wpad = -(-w // 128) * 128
+    flat = jnp.pad(coarse_features.reshape(bt, p_c, w), ((0, 0), (0, 0), (0, wpad - w)))
 
-    out = jnp.zeros((p_f, nz_fine, cout), dtype=coarse_features.dtype)
+    out = jnp.zeros((bt, p_f, nz_fine, cout), dtype=coarse_features.dtype)
     for t in range(9):
         dy, dx = divmod(t, 3)
-        idx = inv_neighbor_idx[:, t]
-        g = jnp.take(flat, jnp.where(idx >= 0, idx, p_c), axis=0)
-        g = g.reshape(p_f, nz_c, c)
+        g = gather_rows(flat, inv_neighbor_idx[:, :, t])
+        g = g[..., :w].reshape(bt, p_f, nz_c, c)
         for dz in range(3):
-            vals = g @ weights[dz, dy, dx]  # (P_f, nz_c, Cout)
+            vals = g @ weights[dz, dy, dx]  # (B, P_f, nz_c, Cout)
             if dz == 1:  # zf = 2*zc (even slots)
                 n = min(nz_c, (nz_fine + 1) // 2)
-                out = out.at[:, 0 : 2 * n : 2, :].add(vals[:, :n])
+                out = out.at[:, :, 0 : 2 * n : 2, :].add(vals[:, :, :n])
             else:  # zf = 2*zc + dz - 1 (odd slots)
                 zc0 = 1 if dz == 0 else 0  # dz=0: zf=2zc-1 needs zc>=1
                 zf0 = 2 * zc0 + dz - 1
                 n = min(nz_c - zc0, max((nz_fine - zf0 + 1) // 2, 0))
                 if n > 0:
-                    out = out.at[:, zf0 : zf0 + 2 * n : 2, :].add(
-                        vals[:, zc0 : zc0 + n]
+                    out = out.at[:, :, zf0 : zf0 + 2 * n : 2, :].add(
+                        vals[:, :, zc0 : zc0 + n]
                     )
-    return jnp.where(fine_mask[:, None, None], out, 0.0)
+    return jnp.where(fine_mask[:, :, None, None], out, 0.0)

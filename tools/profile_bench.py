@@ -46,16 +46,24 @@ def main():
             pid_names[ev["pid"]] = ev["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
 
-    agg = defaultdict(float)
-    total = 0.0
+    # group by (pid, tid) and report the busiest *op-level* track (the one
+    # with the most slices) to avoid double counting nested module slices
+    tracks = defaultdict(lambda: defaultdict(float))
+    counts = defaultdict(int)
     for ev in trace["traceEvents"]:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
-        name = ev.get("name", "")
-        dur = ev.get("dur", 0) / 1e3  # us -> ms
-        agg[name] += dur
-        total += dur
-    print(f"pids: { {p: pid_names[p] for p in dev_pids} }")
+        key = (ev["pid"], ev.get("tid", 0))
+        tracks[key][ev.get("name", "")] += ev.get("dur", 0) / 1e3
+        counts[key] += 1
+    if not tracks:
+        print("no device slices found")
+        return
+    key = max(counts, key=lambda k: counts[k])
+    agg = tracks[key]
+    total = sum(agg.values())
+    print(f"pids: { {p: pid_names[p] for p in dev_pids} }; op track {key} "
+          f"({counts[key]} slices)")
     print(f"total device op time over 3 steps: {total:.1f} ms -> {total/3:.1f} ms/step")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{ms/3:9.2f} ms/step  {100*ms/max(total,1e-9):5.1f}%  {name[:110]}")
