@@ -169,3 +169,54 @@ def test_real_pillars_subm_grads():
     gc = jax.grad(loss_custom)(feats, jnp.asarray(w))
     gr = jax.grad(loss_ref)(feats, jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), rtol=2e-5, atol=1e-5)
+
+
+def test_transposed_conv_matches_rowmajor():
+    from toda_tpu.ops.pillar_sparse import pillar_conv3d_t
+
+    feats, coords, mask, w, bev_shape = _setup(seed=11)
+    p, nz, c = feats.shape
+    bmap = build_bev_map(coords, mask, bev_shape)
+    nbr = bev_neighbor_idx(coords, mask, bmap, bev_shape, 1)
+    inv = nbr[:, ::-1]
+
+    ref = pillar_conv3d(feats, nbr, w, mask, 1, 4, inv)  # (P, nz, Cout)
+
+    flatT = jnp.asarray(feats).transpose(1, 2, 0).reshape(nz * c, p)
+    outT = pillar_conv3d_t(flatT, nbr, jnp.asarray(w), mask, nz, 1, 4, inv)
+    cout = w.shape[-1]
+    got = outT.reshape(nz, cout, p).transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-5)
+
+    # gradients too
+    def loss_t(fT, wt):
+        return (pillar_conv3d_t(fT, nbr, wt, mask, nz, 1, 4, inv) ** 2).sum()
+
+    def loss_r(f, wt):
+        return (pillar_conv3d(f, nbr, wt, mask, 1, 4, inv) ** 2).sum()
+
+    gt_f, gt_w = jax.grad(loss_t, argnums=(0, 1))(flatT, jnp.asarray(w))
+    gr_f, gr_w = jax.grad(loss_r, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    gt_f_r = gt_f.reshape(nz, c, p).transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(gt_f_r), np.asarray(gr_f), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_w), np.asarray(gr_w), rtol=2e-5, atol=1e-5)
+
+
+def test_transposed_downsample_conv_matches_rowmajor():
+    from toda_tpu.ops.pillar_sparse import pillar_conv3d_t
+
+    feats, coords, mask, w, bev_shape = _setup(seed=12)
+    p, nz, c = feats.shape
+    coarse_shape = (bev_shape[0] // 2, bev_shape[1] // 2)
+    out_coords, out_mask = bev_downsample_sites(coords, mask, 2, 48, bev_shape)
+    bmap = build_bev_map(coords, mask, bev_shape)
+    nbr = bev_neighbor_idx(out_coords, out_mask, bmap, bev_shape, 2)
+    inv = bev_inv_neighbor_idx_sorted(out_coords, out_mask, coords, mask, coarse_shape)
+
+    ref = pillar_conv3d(feats, nbr, w, out_mask, 2, None, inv)
+    flatT = jnp.asarray(feats).transpose(1, 2, 0).reshape(nz * c, p)
+    outT = pillar_conv3d_t(flatT, nbr, jnp.asarray(w), out_mask, nz, 2, None, inv)
+    nz_out = -(-nz // 2)
+    cout = w.shape[-1]
+    got = outT.reshape(nz_out, cout, -1).transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-5)

@@ -82,7 +82,12 @@ class SAGroupMSG(nn.Module):
 def _voxel_source_points(ms, voxel_size, pc_range, grid_nz):
     """multi_scale_3d_features entry -> (B, Nv, 3) centers, (B, Nv, C) features,
     (B, Nv) mask, for either substrate."""
-    feats = ms["features"]
+    if "features_t" in ms:  # transposed pillar backbone storage
+        from ..pillar_sparse_backbone import ms_features
+
+        feats = ms_features(ms)
+    else:
+        feats = ms["features"]
     coords = ms["coords"]
     mask = ms["mask"]
     stride = int(ms["stride"])

@@ -3,9 +3,16 @@
 Same network topology as VoxelBackBone8x / VoxelResBackBone8x (reference
 pcdet/models/backbones_3d/spconv_backbone.py:70-293: stem + three stride-2 stages,
 channels [16, 32, 64, 64], 8x BEV stride) but on the pillar-sparse substrate
-(toda_tpu/ops/pillar_sparse.py): nine wide-row BEV gathers + z-dense GEMMs per
-conv instead of 27 voxel-granular gathers. See that module's docstring for the
-measured rationale and semantics ("submanifold in BEV, regular in z").
+(toda_tpu/ops/pillar_sparse.py): fused span-window BEV gathers + z-dense GEMMs
+per conv instead of 27 voxel-granular gathers. See that module's docstring for
+the measured rationale and semantics ("submanifold in BEV, regular in z").
+
+Activations flow in the TRANSPOSED layout flatT (nz*C, Mf) with Mf =
+batch-folded pillars in lanes — XLA's native layout for tiny-C z-convs — so
+no layout conversions occur between layers (measured ~150 ms/step saved at
+nuScenes scale). Neighbor tables are built once per stage with the sort-based
+searchsorted path (no dense BEV map), batch-folded, with analytic inverse
+tables for the scatter-free conv backward.
 
 These backbones consume raw points directly (the per-cell mean IS the MeanVFE of
 this layout); the detector skips its generic voxelization path for them.
@@ -20,24 +27,47 @@ from ...ops.pillar_sparse import (
     bev_downsample_sites,
     bev_inv_neighbor_idx_sorted,
     bev_neighbor_idx,
+    bev_neighbor_idx_sorted,
     build_bev_map,
     pillar_conv3d,
+    pillar_conv3d_t,
     pillars_to_dense,
     voxelize_pillars,
 )
 from ..model_utils.masked_norm import MaskedBatchNorm
 
 
+def fold_idx(idx, p_in):
+    """(Bt, P_out, T) per-sample tables -> (Bt*P_out, T) folded into the
+    concatenated row space (sample b's rows live at [b*p_in, (b+1)*p_in))."""
+    bt = idx.shape[0]
+    offs = (jnp.arange(bt, dtype=jnp.int32) * p_in)[:, None, None]
+    return jnp.where(idx >= 0, idx + offs, -1).reshape(bt * idx.shape[1], idx.shape[2])
+
+
+def ms_features(entry):
+    """Materialize a multi_scale_3d_features entry as (Bt, P, nz, C)
+    regardless of the stored layout (transposed backbones store features_t)."""
+    if "features_t" in entry:
+        ft = entry["features_t"]
+        nz, bt = entry["nz"], entry["bt"]
+        c = ft.shape[0] // nz
+        return ft.reshape(nz, c, bt, -1).transpose(2, 3, 0, 1)
+    return entry["features"]
+
+
 class PillarConvLayer(nn.Module):
+    """Legacy row-major conv layer (kept for UNetV2/PartA2; the main
+    backbones use PillarConvLayerT's transposed flow)."""
+
     out_channels: int
     z_stride: int = 1
     use_relu: bool = True
-    identity_tap: int = -1  # 4 for stride-1 submanifold convs (center = self)
+    identity_tap: int = -1
 
     @nn.compact
     def __call__(self, features, neighbor_idx, out_mask, training=False,
                  inv_neighbor_idx=None):
-        # features (B, P_in, nz, C); neighbor_idx (B, P_out, 9); out_mask (B, P_out)
         c = features.shape[-1]
         w = self.param(
             "kernel",
@@ -57,6 +87,8 @@ class PillarConvLayer(nn.Module):
 
 
 class PillarSubMBlock(nn.Module):
+    """Legacy row-major submanifold block (kept for UNetV2/PartA2)."""
+
     out_channels: int
     num_layers: int = 2
     residual: bool = False
@@ -67,9 +99,6 @@ class PillarSubMBlock(nn.Module):
         nbr = jax.vmap(lambda oc, om, bm: bev_neighbor_idx(oc, om, bm, bev_shape, 1))(
             coords, mask, bmap
         )
-        # submanifold conv on the key-sorted set: inverse of tap t is the
-        # mirrored tap 8-t on the same table (i's (8-t)-neighbor is j iff
-        # j's t-neighbor is i)
         inv = nbr[..., ::-1]
         x = features
         if self.residual:
@@ -88,6 +117,106 @@ class PillarSubMBlock(nn.Module):
                 x = PillarConvLayer(self.out_channels, identity_tap=4, name=f"subm{i}")(
                     x, nbr, mask, training, inv
                 )
+        return x
+
+
+class MaskedBatchNormT(nn.Module):
+    """MaskedBatchNorm for the transposed layout: x (nz, C, Mf), mask (Mf,).
+    Same parameter/stat names and semantics as MaskedBatchNorm (channel axis
+    1; statistics over valid pillars x z)."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, training=False):
+        nz, c, mf = x.shape
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        in_dtype = x.dtype
+        if training:
+            n = jnp.maximum(mask.sum(dtype=jnp.float32) * nz, 1.0)
+            xf = jnp.where(mask[None, None, :], x, 0).astype(jnp.float32)
+            mean = xf.sum(axis=(0, 2)) / n
+            mean_sq = (xf * xf).sum(axis=(0, 2)) / n
+            var = jnp.maximum(mean_sq - mean**2, 0.0)
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = (bias - mean * inv).astype(in_dtype)
+        y = x * inv.astype(in_dtype)[None, :, None] + shift[None, :, None]
+        return jnp.where(mask[None, None, :], y, 0.0)
+
+
+class PillarConvLayerT(nn.Module):
+    out_channels: int
+    nz: int
+    z_stride: int = 1
+    use_relu: bool = True
+    identity_tap: int = -1  # 4 for stride-1 submanifold convs (center = self)
+
+    @nn.compact
+    def __call__(self, flatT, idxf, maskf, training=False, invf=None):
+        c = flatT.shape[0] // self.nz
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (3, 3, 3, c, self.out_channels),
+        )
+        out = pillar_conv3d_t(
+            flatT, idxf, w.astype(flatT.dtype), maskf, self.nz, self.z_stride,
+            self.identity_tap if self.identity_tap >= 0 else None, invf,
+        )
+        nz_out = -(-self.nz // self.z_stride)
+        x3 = out.reshape(nz_out, self.out_channels, -1)
+        x3 = MaskedBatchNormT(name="bn")(x3, maskf, training=training)
+        if self.use_relu:
+            x3 = nn.relu(x3)
+        x3 = jnp.where(maskf[None, None, :], x3, 0.0)
+        return x3.reshape(nz_out * self.out_channels, -1)
+
+
+class PillarSubMBlockT(nn.Module):
+    out_channels: int
+    nz: int
+    num_layers: int = 2
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, flatT, idxf, maskf, training=False):
+        # submanifold conv on the key-sorted set: inverse of tap t is the
+        # mirrored tap 8-t on the same table
+        invf = idxf[:, ::-1]
+        x = flatT
+        if self.residual:
+            identity = x
+            x = PillarConvLayerT(self.out_channels, self.nz, identity_tap=4,
+                                 name="conv1")(x, idxf, maskf, training, invf)
+            x = PillarConvLayerT(self.out_channels, self.nz, use_relu=False,
+                                 identity_tap=4, name="conv2")(
+                x, idxf, maskf, training, invf)
+            if identity.shape[0] // self.nz != self.out_channels:
+                cin = identity.shape[0] // self.nz
+                wp = self.param(
+                    "proj_kernel", nn.initializers.lecun_normal(),
+                    (cin, self.out_channels),
+                )
+                id3 = identity.reshape(self.nz, cin, -1)
+                identity = jnp.einsum(
+                    "zcm,cd->zdm", id3, wp.astype(identity.dtype)
+                ).reshape(self.nz * self.out_channels, -1)
+            x = jnp.where(maskf[None, :], nn.relu(x + identity), 0.0)
+        else:
+            for i in range(self.num_layers):
+                x = PillarConvLayerT(self.out_channels, self.nz,
+                                     identity_tap=4, name=f"subm{i}")(
+                    x, idxf, maskf, training, invf)
         return x
 
 
@@ -118,53 +247,71 @@ class _PillarBackboneBase(nn.Module):
                 grid_size=(nx, ny, nz), max_pillars=caps[0], nz=nz,
             )
         )(batch_dict["points"], batch_dict["points_mask"])
-        x = vox["pillar_features"]  # (B, P, nz, C)
+        x = vox["pillar_features"]  # (Bt, P, nz, C)
         if self.model_cfg.get("BF16", True):
             # bf16 activations halve gather/GEMM bytes; norms accumulate in f32
             x = x.astype(jnp.bfloat16)
         coords, mask = vox["pillar_coords"], vox["pillar_mask"]
+        bt, p, _, c = x.shape
+        # -> transposed flow: (nz*C, Bt*P), pillars in lanes (one relayout)
+        x = x.transpose(2, 3, 0, 1).reshape(nz * c, bt * p)
         bev_shape = (ny, nx)
         cur_nz = nz
 
+        def subm_tables(coords, mask, bev_shape, p_in):
+            nbr = jax.vmap(
+                lambda cc, mm: bev_neighbor_idx_sorted(cc, mm, cc, mm, bev_shape, 1)
+            )(coords, mask)
+            return fold_idx(nbr, p_in)
+
         multi_scale = {}
-        x = PillarSubMBlock(chans[0], residual=self.RESIDUAL, name="stage1")(
-            x, coords, mask, bev_shape, training
-        )
+        maskf = mask.reshape(bt * p)
+        idxf = subm_tables(coords, mask, bev_shape, p)
+        x = PillarSubMBlockT(chans[0], cur_nz, residual=self.RESIDUAL,
+                             name="stage1")(x, idxf, maskf, training)
         multi_scale["x_conv1"] = {
-            "features": x, "coords": coords, "mask": mask, "stride": 1, "nz": cur_nz,
+            "features_t": x, "coords": coords, "mask": mask, "stride": 1,
+            "nz": cur_nz, "bt": bt,
         }
 
         stride = 1
         for si, ch in enumerate(chans[1:], start=2):
+            p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(
-                lambda c, m: bev_downsample_sites(c, m, 2, caps[si - 1], bev_shape)
+                lambda c_, m_: bev_downsample_sites(c_, m_, 2, p_out, bev_shape)
             )(coords, mask)
-            bmap = jax.vmap(lambda c, m: build_bev_map(c, m, bev_shape))(coords, mask)
             nbr = jax.vmap(
-                lambda oc, om, bm: bev_neighbor_idx(oc, om, bm, bev_shape, 2)
-            )(new_coords, new_mask, bmap)
+                lambda oc, om, ic, im: bev_neighbor_idx_sorted(
+                    ic, im, oc, om, bev_shape, 2
+                )
+            )(new_coords, new_mask, coords, mask)
             coarse_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
             inv = jax.vmap(
                 lambda cc, cm, fc, fm: bev_inv_neighbor_idx_sorted(
                     cc, cm, fc, fm, coarse_shape
                 )
             )(new_coords, new_mask, coords, mask)
-            x = PillarConvLayer(ch, z_stride=2, name=f"down{si}")(
-                x, nbr, new_mask, training, inv
+            new_maskf = new_mask.reshape(bt * p_out)
+            x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
+                x, fold_idx(nbr, p_in), new_maskf, training, fold_idx(inv, p_out)
             )
-            coords, mask = new_coords, new_mask
-            bev_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
+            coords, mask, maskf = new_coords, new_mask, new_maskf
+            bev_shape = coarse_shape
             cur_nz = -(-cur_nz // 2)
             stride *= 2
-            x = PillarSubMBlock(ch, residual=self.RESIDUAL, name=f"stage{si}")(
-                x, coords, mask, bev_shape, training
-            )
+            idxf = subm_tables(coords, mask, bev_shape, p_out)
+            x = PillarSubMBlockT(ch, cur_nz, residual=self.RESIDUAL,
+                                 name=f"stage{si}")(x, idxf, maskf, training)
             multi_scale[f"x_conv{si}"] = {
-                "features": x, "coords": coords, "mask": mask, "stride": stride, "nz": cur_nz,
+                "features_t": x, "coords": coords, "mask": mask, "stride": stride,
+                "nz": cur_nz, "bt": bt,
             }
 
-        dense = jax.vmap(lambda f, c, m: pillars_to_dense(f, c, m, bev_shape))(
-            x, coords, mask
+        # final stage -> dense BEV tensor (one small transpose)
+        cfin = x.shape[0] // cur_nz
+        x4 = x.reshape(cur_nz, cfin, bt, -1).transpose(2, 3, 0, 1)  # (Bt,P,nz,C)
+        dense = jax.vmap(lambda f, c_, m_: pillars_to_dense(f, c_, m_, bev_shape))(
+            x4, coords, mask
         )  # (B, ny8, nx8, nz8, C)
         # encoded tensor in (B, D, H, W, C) convention for HeightCompression
         batch_dict["encoded_spconv_tensor"] = dense.transpose(0, 3, 1, 2, 4).astype(

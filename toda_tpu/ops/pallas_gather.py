@@ -315,6 +315,145 @@ def gather_rows_taps(table, idx):
 
 
 # --------------------------------------------------------------------------
+# transposed-layout fused multi-tap gather: table is (W, N), rows minor
+# --------------------------------------------------------------------------
+#
+# XLA lays out the z-conv with the pillar dim MINOR (each lane = one pillar;
+# C is tiny), so a (N, W) gather forces a full layout conversion on both
+# sides of every conv — measured ~150 ms/step. This variant keeps pillars in
+# lanes end to end: the window is a 128-aligned LANE slice of the (W, N)
+# table, and the local gather is win (W, S) @ onehot (S, B) on the MXU.
+
+SPAN_T = 384  # lane-window size; offsets must be 128-aligned (lane tiling)
+
+
+def _xla_gather_t(tableT, idx):
+    safe = jnp.where(idx >= 0, idx, 0)
+    g = jnp.take(tableT, safe, axis=1)
+    return jnp.where((idx >= 0)[None, :], g, 0).astype(tableT.dtype)
+
+
+def _pallas_ok_t(dtype, n, m, w):
+    if INTERPRET:
+        return m % BLOCK == 0 and n >= SPAN_T
+    return (
+        _on_tpu()
+        and dtype == jnp.bfloat16
+        and m % BLOCK == 0
+        and n >= SPAN_T
+        and n % 128 == 0  # lane-dim windows need 128-aligned clamping
+        and w % 8 == 0
+    )
+
+
+def _gather_taps_t_kernel(lo_ref, li_ref, src, *refs):
+    outs, (win, sem) = refs[:-2], refs[-2:]
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, s = win.shape
+
+    def start(blk, slot):
+        off = pl.multiple_of(lo_ref[blk], 128)
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(off, s)], win.at[slot], sem.at[slot]
+        ).start()
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    pltpu.make_async_copy(
+        src.at[:, pl.ds(pl.multiple_of(lo_ref[i], 128), s)], win.at[slot], sem.at[slot]
+    ).wait()
+
+    li = li_ref[0]  # (T, 8, B) sublane-replicated local indices
+    bsz = li.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s, bsz), 0)
+    for t, out_ref in enumerate(outs):
+        onehot = (iota == li[t, 0:1]).astype(src.dtype)  # (S, B)
+        for b in range(nbuf):
+            @pl.when(slot == b)
+            def _(b=b, onehot=onehot, out_ref=out_ref):
+                out_ref[:] = jnp.dot(
+                    win[b], onehot, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+
+def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
+    w, n = tableT.shape
+    nblk = m // BLOCK
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ntap, 8, BLOCK), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((w, BLOCK), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(ntap)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, w, SPAN_T), tableT.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        _gather_taps_t_kernel,
+        grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((w, m), tableT.dtype) for _ in range(ntap)],
+        interpret=INTERPRET,
+    )(lo, li4, tableT)
+
+
+def _taps_t_prologue(idx, n):
+    m, ntap = idx.shape
+    nblk = m // BLOCK
+    blk = idx.reshape(nblk, BLOCK * ntap)
+    valid = blk >= 0
+    lo = jnp.min(jnp.where(valid, blk, INT_MAX), axis=1)
+    lo = jnp.where(lo == INT_MAX, 0, lo)
+    lo = (lo // 128) * 128
+    lo = jnp.minimum(lo, ((n - SPAN_T) // 128) * 128).astype(jnp.int32)
+    vli = blk - lo[:, None]
+    overflow = jnp.any(valid & (vli >= SPAN_T))
+    li = jnp.where(valid, jnp.clip(vli, 0, SPAN_T), SPAN_T).astype(jnp.int32)
+    li4 = li.reshape(nblk, BLOCK, ntap).transpose(0, 2, 1)  # (nblk, T, B)
+    li4 = jnp.broadcast_to(li4[:, :, None, :], (nblk, ntap, 8, BLOCK))
+    return lo, li4, overflow
+
+
+def gather_rows_taps_t(tableT, idx):
+    """Transposed fused multi-tap gather: tableT (W, N); idx (M, T), -1 =>
+    zero column. Returns list of T arrays (W, M). Indices must already be
+    batch-folded (the caller offsets per-sample indices into the folded
+    column space). NOT differentiable — used inside pillar_conv3d_t's
+    custom VJP."""
+    w, n = tableT.shape
+    m, ntap = idx.shape
+
+    def fallback():
+        return tuple(_xla_gather_t(tableT, idx[:, t]) for t in range(ntap))
+
+    if not _pallas_ok_t(tableT.dtype, n, m, w):
+        return fallback()
+    lo, li4, overflow = _taps_t_prologue(idx, n)
+    return jax.lax.cond(
+        overflow,
+        fallback,
+        lambda: tuple(_pallas_gather_taps_t(tableT, lo, li4, m, ntap)),
+    )
+
+
+# --------------------------------------------------------------------------
 # transpose: span scatter-add
 # --------------------------------------------------------------------------
 

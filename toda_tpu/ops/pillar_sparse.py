@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_gather import gather_rows, gather_rows_taps
+from .pallas_gather import gather_rows, gather_rows_taps, gather_rows_taps_t
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -279,6 +279,132 @@ def _core_bwd(z_stride, identity_tap, res, ob):
 
 
 _pillar_conv3d_core.defvjp(_core_fwd, _core_bwd)
+
+
+# --------------------------------------------------------------------------
+# transposed-layout conv: pillars in lanes end to end
+# --------------------------------------------------------------------------
+#
+# XLA's preferred layout for the tiny-C z-convs has the pillar dim MINOR; the
+# row-major gather forced a layout conversion on each side of every conv
+# (~150 ms/step measured). This path keeps activations as flatT (nz*C, Mf)
+# with Mf = batch-folded pillars in lanes: the Pallas gather windows are lane
+# slices, the conv runs in its native "WCN" layout, and reshapes between
+# layers only split/merge MAJOR dims (free).
+
+
+def _grouped_gathers_t(tableT, idx9, identity_tap):
+    out = []
+    for grp_base in (0, 3, 6):
+        grp = [t for t in range(grp_base, grp_base + 3) if t != identity_tap]
+        if not grp:
+            continue
+        gs = gather_rows_taps_t(tableT, idx9[:, grp])
+        out.extend(zip(grp, gs))
+    return out
+
+
+def _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap):
+    cout = weights.shape[-1]
+    c = flatT.shape[0] // nz
+    nz_out = -(-nz // z_stride)
+    haloT = jnp.pad(flatT, ((c, c), (0, 0)))  # z halo = C rows top/bottom
+
+    def tap_conv(gT, dy, dx):
+        g3 = gT.reshape(nz + 2, c, -1)  # free: splits the MAJOR dim
+        return jax.lax.conv_general_dilated(
+            g3,
+            weights[:, dy, dx],  # (3, C, Cout)
+            window_strides=(z_stride,),
+            padding="VALID",
+            dimension_numbers=("WCN", "WIO", "WCN"),
+        )  # (nz_out, Cout, Mf)
+
+    acc = None
+    for t, gT in _grouped_gathers_t(haloT, idxf, identity_tap):
+        contrib = tap_conv(gT, *divmod(t, 3))
+        acc = contrib if acc is None else acc + contrib
+    if identity_tap is not None:
+        acc = acc + tap_conv(haloT, *divmod(identity_tap, 3))
+    acc = jnp.where(maskf[None, None, :], acc, 0.0)
+    return acc.reshape(nz_out * cout, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pillar_conv3d_t_core(flatT, weights, idxf, invf, maskf, nz, z_stride,
+                          identity_tap):
+    return _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap)
+
+
+def _core_t_fwd(flatT, weights, idxf, invf, maskf, nz, z_stride, identity_tap):
+    out = _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap)
+    return out, (flatT, weights, idxf, invf, maskf)
+
+
+def _core_t_bwd(nz, z_stride, identity_tap, res, ob):
+    """Same scatter-free backward as _core_bwd, in the transposed layout."""
+    flatT, weights, idxf, invf, maskf = res
+    c = flatT.shape[0] // nz
+    cout = weights.shape[-1]
+    nz_out = -(-nz // z_stride)
+    mf_in = flatT.shape[1]
+
+    ob = jnp.where(maskf[None, :], ob, 0).astype(flatT.dtype)  # (nz_out*cout, Mf_out)
+    haloT = jnp.pad(flatT, ((c, c), (0, 0)))
+
+    def tap_conv(gT, dy, dx, wts):
+        g3 = gT.reshape(nz + 2, c, -1)
+        return jax.lax.conv_general_dilated(
+            g3, wts[:, dy, dx], window_strides=(z_stride,), padding="VALID",
+            dimension_numbers=("WCN", "WIO", "WCN"),
+        )
+
+    g_struct = jax.ShapeDtypeStruct(((nz + 2) * c, mf_in), flatT.dtype)
+    acc = None
+    wbar = jnp.zeros_like(weights)
+
+    def accumulate(t, gob3, acc, wbar):
+        dy, dx = divmod(t, 3)
+        fT = jax.linear_transpose(lambda gf: tap_conv(gf, dy, dx, weights), g_struct)
+        (gbar,) = fT(gob3)
+        acc = gbar if acc is None else acc + gbar
+        _, vjp_w = jax.vjp(lambda wt: tap_conv(haloT, dy, dx, wt), weights)
+        wbar = wbar + vjp_w(gob3)[0]
+        return acc, wbar
+
+    for t, gob in _grouped_gathers_t(ob, invf, identity_tap):
+        acc, wbar = accumulate(t, gob.reshape(nz_out, cout, mf_in), acc, wbar)
+    if identity_tap is not None:
+        acc, wbar = accumulate(identity_tap, ob.reshape(nz_out, cout, -1), acc, wbar)
+    fbar = acc[c:-c, :]  # un-halo
+
+    return fbar.astype(flatT.dtype), wbar, None, None, None
+
+
+_pillar_conv3d_t_core.defvjp(_core_t_fwd, _core_t_bwd)
+
+
+def pillar_conv3d_t(flatT, idxf, weights, maskf, nz, z_stride=1,
+                    identity_tap=None, inv_idx_f=None):
+    """Transposed-layout 3x3x3 conv.
+
+    Args:
+        flatT: (nz*C, Mf) activations, Mf = batch-folded pillars in lanes
+        idxf: (Mf_out, 9) batch-folded per-tap neighbor tables (-1 missing)
+        weights: (3, 3, 3, C, Cout) (dz, dy, dx)
+        maskf: (Mf_out,)
+        nz: z cells (static)
+        inv_idx_f: (Mf_in, 9) folded inverse tables (required for the fast
+            custom-VJP backward; derived by scatter when absent)
+    Returns (nz_out*Cout, Mf_out).
+    """
+    if inv_idx_f is None:
+        inv = invert_neighbor_idx(idxf[None], flatT.shape[1])[0]
+    else:
+        inv = inv_idx_f
+    return _pillar_conv3d_t_core(
+        flatT, weights, idxf, inv, maskf, nz, z_stride, identity_tap
+    )
 
 
 def pillar_conv3d(features, neighbor_idx, weights, out_mask, z_stride=1,
