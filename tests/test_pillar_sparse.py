@@ -167,3 +167,37 @@ def test_inverse_conv_is_transpose_of_downsample():
     lhs = float((fx * y).sum())
     rhs = float((x * bx).sum())
     assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0), (lhs, rhs)
+
+
+def test_sorted_neighbor_tables_match_map_based():
+    """Rank-merge tables (no scalar gathers) == dense-map tables, for subm
+    (stride 1) and strided cases, with padding and boundary sites."""
+    from toda_tpu.ops.pillar_sparse import (
+        bev_downsample_sites,
+        bev_neighbor_idx,
+        bev_neighbor_idx_sorted,
+        build_bev_map,
+    )
+
+    rng = np.random.RandomState(42)
+    NY = NX = 24
+    for trial in range(3):
+        p = 96
+        n_occ = rng.randint(30, 80)
+        keys = np.sort(rng.choice(NY * NX, size=n_occ, replace=False))
+        coords = np.full((p, 2), -1, np.int32)
+        coords[:n_occ, 0] = keys // NX
+        coords[:n_occ, 1] = keys % NX
+        mask = np.zeros(p, bool)
+        mask[:n_occ] = True
+        cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+
+        bmap = build_bev_map(cj, mj, (NY, NX))
+        want = np.asarray(bev_neighbor_idx(cj, mj, bmap, (NY, NX), 1))
+        got = np.asarray(bev_neighbor_idx_sorted(cj, mj, cj, mj, (NY, NX), 1))
+        np.testing.assert_array_equal(got, want)
+
+        oc, om = bev_downsample_sites(cj, mj, 2, 64, (NY, NX))
+        want2 = np.asarray(bev_neighbor_idx(oc, om, bmap, (NY, NX), 2))
+        got2 = np.asarray(bev_neighbor_idx_sorted(cj, mj, oc, om, (NY, NX), 2))
+        np.testing.assert_array_equal(got2, want2)

@@ -59,19 +59,21 @@ def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_p
         & (ijk[:, 2] >= 0) & (ijk[:, 2] < gz)
     )
     bev_key = ijk[:, 1] * gx + ijk[:, 0]
-    bev_key = jnp.where(valid, bev_key, INT_MAX)
+    # pack (bev_key, z) into one int32 sort key (bev_key*gz + z < 2^31 for
+    # grids up to 1024^2 x ~40) and fold validity into the INT_MAX sentinel —
+    # two fewer sort operands, and cells come out z-sorted within each pillar
+    packed = jnp.where(valid, bev_key * gz + ijk[:, 2], INT_MAX)
 
     # multi-operand sort carries the payload through the sort network — a
     # row-gather of 16-byte point rows after argsort measured ~3 GB/s (tiny-row
     # gather pathology), while lax.sort moves payload at full bandwidth.
     cols = [points[:, j] for j in range(c)]
-    sorted_ops = jax.lax.sort(
-        [bev_key, valid.astype(jnp.int32), ijk[:, 2], *cols], num_keys=1, is_stable=True
-    )
-    skey = sorted_ops[0]
-    svalid = sorted_ops[1].astype(bool)
-    sz = sorted_ops[2]
-    spoints = jnp.stack(sorted_ops[3:], axis=-1)
+    sorted_ops = jax.lax.sort([packed, *cols], num_keys=1, is_stable=True)
+    spacked = sorted_ops[0]
+    svalid = spacked != INT_MAX
+    skey = jnp.where(svalid, spacked // gz, INT_MAX)
+    sz = jnp.where(svalid, spacked % gz, 0)
+    spoints = jnp.stack(sorted_ops[1:], axis=-1)
 
     prev = jnp.concatenate([jnp.array([-1], dtype=skey.dtype), skey[:-1]])
     head = (skey != prev) & svalid
@@ -491,34 +493,85 @@ def pillars_to_dense(features, coords, mask, bev_shape):
     return dense.reshape(ny, nx, nz, c)
 
 
+def _ranks_of_queries(key, nbkey, kmax):
+    """Rank every query among the sorted keys WITHOUT scalar gathers.
+
+    key (P,) int32 ascending, INT_MAX = padding; nbkey (Q,) queries (invalid
+    entries are masked by the caller). Returns (left, right) int32 (Q,):
+    #keys < q and #keys <= q. Implementation: parity-encode keys (2k+1) and
+    both query sides (2q, 2q+2) into ONE sorted merge; ranks are an exclusive
+    cumsum of the key flags; un-permute with a second sort. Everything rides
+    lax.sort (vectorized radix) — no element gathers/scatters, which are
+    latency-bound at ~10 ns/element on TPU.
+    """
+    p, q = key.shape[0], nbkey.shape[0]
+    kenc = jnp.where(key == INT_MAX, 2 * kmax + 3, 2 * key + 1)
+    ql = 2 * jnp.clip(nbkey, 0, kmax)
+    vals = jnp.concatenate([kenc, ql, ql + 2])
+    slots = jnp.arange(p + 2 * q, dtype=jnp.int32)
+    svals, sslots = jax.lax.sort([vals, slots], num_keys=1, is_stable=True)
+    iskey = (svals & 1).astype(jnp.int32)
+    ranks = jnp.cumsum(iskey) - iskey
+    _, ranks_un = jax.lax.sort([sslots, ranks], num_keys=1)
+    return ranks_un[p : p + q], ranks_un[p + q :]
+
+
+def _tap_offsets():
+    return jnp.asarray(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], dtype=jnp.int32
+    )
+
+
 @partial(jax.jit, static_argnames=("bev_shape", "stride"))
 def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
                             stride=1):
-    """Neighbor table via binary search on the (sorted) input BEV keys.
+    """Neighbor table via rank-merge on the (sorted) input BEV keys.
 
     Replaces build_bev_map + bev_neighbor_idx: the dense (ny*nx) slot map costs
-    a large scatter (XLA lowers it serially — profiled as a top step cost) and
-    a tiny-row gather; searchsorted with method='sort' rides lax.sort instead.
-    Requires in_coords ascending by BEV key (the voxelizer/downsampler
-    convention).
+    a large scatter and a tiny-element gather (both latency-bound); this rides
+    lax.sort instead (_ranks_of_queries). For the submanifold case (stride 1,
+    identical sets) the center tap is the identity and the +-1-column taps are
+    shift-compares, so only the six row taps need the sort. Requires in_coords
+    ascending by BEV key (the voxelizer/downsampler convention).
     """
     ny, nx = bev_shape
+    p_in = in_coords.shape[0]
     key = jnp.where(
         in_mask, in_coords[:, 0] * nx + in_coords[:, 1], INT_MAX
     ).astype(jnp.int32)
-    offs = jnp.asarray(
-        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], dtype=jnp.int32
-    )
+    offs = _tap_offsets()
     base = out_coords * stride
     nb = base[:, None, :] + offs[None]
     ok = (
         (nb[..., 0] >= 0) & (nb[..., 0] < ny) & (nb[..., 1] >= 0) & (nb[..., 1] < nx)
     ) & out_mask[:, None]
     nbkey = jnp.where(ok, nb[..., 0] * nx + nb[..., 1], -1)
-    pos = jnp.searchsorted(key, nbkey.reshape(-1), method="sort").reshape(nbkey.shape)
-    pos = jnp.clip(pos, 0, key.shape[0] - 1)
-    hit = key[pos] == nbkey
-    return jnp.where(ok & hit, pos, -1).astype(jnp.int32)
+
+    subm = stride == 1 and out_coords.shape[0] == p_in
+    taps = [0, 1, 2, 6, 7, 8] if subm else list(range(9))
+
+    qs = nbkey[:, taps].reshape(-1)
+    left, right = _ranks_of_queries(key, qs, ny * nx)
+    hit = (right > left).reshape(-1, len(taps))
+    pos = left.reshape(-1, len(taps))
+    res = jnp.where(ok[:, taps] & hit, pos, -1).astype(jnp.int32)
+    if not subm:
+        return res
+
+    # center = self; +-1 column = shift-compare against the adjacent slot
+    p = p_in
+    iota = jnp.arange(p, dtype=jnp.int32)
+    center = jnp.where(out_mask, iota, -1)
+    adj = key[1:] == key[:-1] + 1
+    nxt_hit = jnp.concatenate([adj, jnp.zeros((1,), bool)])
+    prv_hit = jnp.concatenate([jnp.zeros((1,), bool), adj])
+    nxt = jnp.where(ok[:, 5] & nxt_hit, iota + 1, -1)
+    prv = jnp.where(ok[:, 3] & prv_hit, iota - 1, -1)
+    return jnp.stack(
+        [res[:, 0], res[:, 1], res[:, 2], prv, center, nxt,
+         res[:, 3], res[:, 4], res[:, 5]],
+        axis=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("coarse_bev_shape",))
@@ -548,9 +601,9 @@ def bev_inv_neighbor_idx_sorted(coarse_coords, coarse_mask, fine_coords, fine_ma
         & fine_mask[:, None]
     )
     nbkey = jnp.where(ok, o[..., 0] * nx + o[..., 1], -1)
-    pos = jnp.searchsorted(key, nbkey.reshape(-1), method="sort").reshape(nbkey.shape)
-    pos = jnp.clip(pos, 0, key.shape[0] - 1)
-    hit = key[pos] == nbkey
+    left, right = _ranks_of_queries(key, nbkey.reshape(-1), ny * nx)
+    hit = (right > left).reshape(nbkey.shape)
+    pos = left.reshape(nbkey.shape)
     return jnp.where(ok & hit, pos, -1).astype(jnp.int32)
 
 
