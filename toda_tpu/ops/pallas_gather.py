@@ -324,7 +324,11 @@ def gather_rows_taps(table, idx):
 # lanes end to end: the window is a 128-aligned LANE slice of the (W, N)
 # table, and the local gather is win (W, S) @ onehot (S, B) on the MXU.
 
-SPAN_T = 384  # lane-window size; offsets must be 128-aligned (lane tiling)
+SPAN_T = 512  # lane-window size; offsets must be 128-aligned (lane tiling)
+# separate block size for the transposed kernel: the one-hot matmul FLOPs
+# scale with SPAN_T/BLOCK_T, and the union span grows only additively with
+# the block size, so bigger blocks cut compute
+BLOCK_T = 256
 
 
 def _xla_gather_t(tableT, idx):
@@ -335,11 +339,11 @@ def _xla_gather_t(tableT, idx):
 
 def _pallas_ok_t(dtype, n, m, w):
     if INTERPRET:
-        return m % BLOCK == 0 and n >= SPAN_T
+        return m % BLOCK_T == 0 and n >= SPAN_T
     return (
         _on_tpu()
         and dtype == jnp.bfloat16
-        and m % BLOCK == 0
+        and m % BLOCK_T == 0
         and n >= SPAN_T
         and n % 128 == 0  # lane-dim windows need 128-aligned clamping
         and w % 8 == 0
@@ -387,18 +391,18 @@ def _gather_taps_t_kernel(lo_ref, li_ref, src, *refs):
 
 def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
     w, n = tableT.shape
-    nblk = m // BLOCK
+    nblk = m // BLOCK_T
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(
-                (1, ntap, 8, BLOCK), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, ntap, 8, BLOCK_T), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((w, BLOCK), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
             for _ in range(ntap)
         ],
         scratch_shapes=[
@@ -416,8 +420,8 @@ def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
 
 def _taps_t_prologue(idx, n):
     m, ntap = idx.shape
-    nblk = m // BLOCK
-    blk = idx.reshape(nblk, BLOCK * ntap)
+    nblk = m // BLOCK_T
+    blk = idx.reshape(nblk, BLOCK_T * ntap)
     valid = blk >= 0
     lo = jnp.min(jnp.where(valid, blk, INT_MAX), axis=1)
     lo = jnp.where(lo == INT_MAX, 0, lo)
@@ -426,8 +430,8 @@ def _taps_t_prologue(idx, n):
     vli = blk - lo[:, None]
     overflow = jnp.any(valid & (vli >= SPAN_T))
     li = jnp.where(valid, jnp.clip(vli, 0, SPAN_T), SPAN_T).astype(jnp.int32)
-    li4 = li.reshape(nblk, BLOCK, ntap).transpose(0, 2, 1)  # (nblk, T, B)
-    li4 = jnp.broadcast_to(li4[:, :, None, :], (nblk, ntap, 8, BLOCK))
+    li4 = li.reshape(nblk, BLOCK_T, ntap).transpose(0, 2, 1)  # (nblk, T, B)
+    li4 = jnp.broadcast_to(li4[:, :, None, :], (nblk, ntap, 8, BLOCK_T))
     return lo, li4, overflow
 
 

@@ -493,27 +493,34 @@ def pillars_to_dense(features, coords, mask, bev_shape):
     return dense.reshape(ny, nx, nz, c)
 
 
-def _ranks_of_queries(key, nbkey, kmax):
-    """Rank every query among the sorted keys WITHOUT scalar gathers.
+def _merge_ranks(key, enc, kmax):
+    """Rank encoded queries among the sorted keys WITHOUT scalar gathers.
 
-    key (P,) int32 ascending, INT_MAX = padding; nbkey (Q,) queries (invalid
-    entries are masked by the caller). Returns (left, right) int32 (Q,):
-    #keys < q and #keys <= q. Implementation: parity-encode keys (2k+1) and
-    both query sides (2q, 2q+2) into ONE sorted merge; ranks are an exclusive
-    cumsum of the key flags; un-permute with a second sort. Everything rides
-    lax.sort (vectorized radix) — no element gathers/scatters, which are
-    latency-bound at ~10 ns/element on TPU.
+    key (P,) int32 ascending, INT_MAX = padding; enc (Q,) EVEN encodes where
+    rank(2q) = #keys < q. Implementation: parity-encode keys (2k+1) and merge
+    with the query encodes in ONE lax.sort; ranks are an exclusive cumsum of
+    the key flags; un-permute with a second sort. Everything rides lax.sort
+    (vectorized radix) — no element gathers/scatters, which are latency-bound
+    at ~10 ns/element on TPU. Callers exploit left(q+1) == right(q) to cover
+    triplets of consecutive queries with 4 encodes instead of 6.
     """
-    p, q = key.shape[0], nbkey.shape[0]
+    p, q = key.shape[0], enc.shape[0]
     kenc = jnp.where(key == INT_MAX, 2 * kmax + 3, 2 * key + 1)
-    ql = 2 * jnp.clip(nbkey, 0, kmax)
-    vals = jnp.concatenate([kenc, ql, ql + 2])
-    slots = jnp.arange(p + 2 * q, dtype=jnp.int32)
+    vals = jnp.concatenate([kenc, jnp.clip(enc, 0, 2 * kmax + 2)])
+    slots = jnp.arange(p + q, dtype=jnp.int32)
     svals, sslots = jax.lax.sort([vals, slots], num_keys=1, is_stable=True)
     iskey = (svals & 1).astype(jnp.int32)
     ranks = jnp.cumsum(iskey) - iskey
     _, ranks_un = jax.lax.sort([sslots, ranks], num_keys=1)
-    return ranks_un[p : p + q], ranks_un[p + q :]
+    return ranks_un[p:]
+
+
+def _ranks_of_queries(key, nbkey, kmax):
+    """(left, right) ranks of each query: #keys < q and #keys <= q."""
+    q = 2 * jnp.clip(nbkey, 0, kmax)
+    r = _merge_ranks(key, jnp.concatenate([q, q + 2]), kmax)
+    n = nbkey.shape[0]
+    return r[:n], r[n:]
 
 
 def _tap_offsets():
@@ -548,30 +555,38 @@ def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
     nbkey = jnp.where(ok, nb[..., 0] * nx + nb[..., 1], -1)
 
     subm = stride == 1 and out_coords.shape[0] == p_in
-    taps = [0, 1, 2, 6, 7, 8] if subm else list(range(9))
+    dys = (-1, 1) if subm else (-1, 0, 1)
+    kmax = ny * nx
 
-    qs = nbkey[:, taps].reshape(-1)
-    left, right = _ranks_of_queries(key, qs, ny * nx)
-    hit = (right > left).reshape(-1, len(taps))
-    pos = left.reshape(-1, len(taps))
-    res = jnp.where(ok[:, taps] & hit, pos, -1).astype(jnp.int32)
-    if not subm:
-        return res
+    # per dy the three column taps query CONSECUTIVE keys (q-1, q, q+1), so
+    # left(q+1) == right(q) and 4 encodes {2q-2, 2q, 2q+2, 2q+4} rank the
+    # whole triplet
+    base_key = out_coords[:, 0] * stride * nx + out_coords[:, 1] * stride
+    encs = []
+    for dy in dys:
+        q = base_key + dy * nx  # negative / overflow encodes are clipped by
+        encs.append(jnp.stack([2 * q - 2, 2 * q, 2 * q + 2, 2 * q + 4], axis=1))
+        # _merge_ranks and those taps are masked by `ok` anyway
+    enc = jnp.stack(encs, axis=1)  # (P_out, ndy, 4)
+    r = _merge_ranks(key, enc.reshape(-1), kmax).reshape(enc.shape)
 
-    # center = self; +-1 column = shift-compare against the adjacent slot
-    p = p_in
-    iota = jnp.arange(p, dtype=jnp.int32)
-    center = jnp.where(out_mask, iota, -1)
-    adj = key[1:] == key[:-1] + 1
-    nxt_hit = jnp.concatenate([adj, jnp.zeros((1,), bool)])
-    prv_hit = jnp.concatenate([jnp.zeros((1,), bool), adj])
-    nxt = jnp.where(ok[:, 5] & nxt_hit, iota + 1, -1)
-    prv = jnp.where(ok[:, 3] & prv_hit, iota - 1, -1)
-    return jnp.stack(
-        [res[:, 0], res[:, 1], res[:, 2], prv, center, nxt,
-         res[:, 3], res[:, 4], res[:, 5]],
-        axis=1,
-    )
+    cols = {}
+    for j, dy in enumerate(dys):
+        for k, dx in enumerate((-1, 0, 1)):
+            t = (dy + 1) * 3 + (dx + 1)
+            hit = r[:, j, k + 1] > r[:, j, k]
+            cols[t] = jnp.where(ok[:, t] & hit, r[:, j, k], -1).astype(jnp.int32)
+
+    if subm:
+        # center = self; +-1 column = shift-compare against the adjacent slot
+        iota = jnp.arange(p_in, dtype=jnp.int32)
+        cols[4] = jnp.where(out_mask, iota, -1)
+        adj = key[1:] == key[:-1] + 1
+        nxt_hit = jnp.concatenate([adj, jnp.zeros((1,), bool)])
+        prv_hit = jnp.concatenate([jnp.zeros((1,), bool), adj])
+        cols[5] = jnp.where(ok[:, 5] & nxt_hit, iota + 1, -1)
+        cols[3] = jnp.where(ok[:, 3] & prv_hit, iota - 1, -1)
+    return jnp.stack([cols[t] for t in range(9)], axis=1)
 
 
 @partial(jax.jit, static_argnames=("coarse_bev_shape",))
@@ -600,11 +615,31 @@ def bev_inv_neighbor_idx_sorted(coarse_coords, coarse_mask, fine_coords, fine_ma
         & (o[..., 0] >= 0) & (o[..., 0] < ny) & (o[..., 1] >= 0) & (o[..., 1] < nx)
         & fine_mask[:, None]
     )
-    nbkey = jnp.where(ok, o[..., 0] * nx + o[..., 1], -1)
-    left, right = _ranks_of_queries(key, nbkey.reshape(-1), ny * nx)
-    hit = (right > left).reshape(nbkey.shape)
-    pos = left.reshape(nbkey.shape)
-    return jnp.where(ok & hit, pos, -1).astype(jnp.int32)
+    # per dy, the (<=2) integral x-candidates are CONSECUTIVE coarse keys
+    # (fx odd -> (fx-1)/2 and (fx+1)/2; fx even -> fx/2), so one triplet of
+    # encodes {2q0, 2q0+2, 2q0+4} with q0 = oy*nx + (fx-1)//2 ranks them all
+    kmax = ny * nx
+    fx = fine_coords[:, 1]
+    o0x = (fx - 1) // 2
+    encs = []
+    oys = []
+    for dy in (0, 1, 2):
+        oy = (fine_coords[:, 0] - (dy - 1)) // 2
+        oys.append(oy)
+        q0 = oy * nx + o0x
+        encs.append(jnp.stack([2 * q0, 2 * q0 + 2, 2 * q0 + 4], axis=1))
+    enc = jnp.stack(encs, axis=1)  # (P_f, 3, 3)
+    r = _merge_ranks(key, enc.reshape(-1), kmax).reshape(enc.shape)
+
+    cols = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        ox = o[:, t, 1]
+        sel = jnp.clip(ox - o0x, 0, 1)  # which consecutive candidate
+        left = jnp.where(sel == 0, r[:, dy, 0], r[:, dy, 1])
+        right = jnp.where(sel == 0, r[:, dy, 1], r[:, dy, 2])
+        cols.append(jnp.where(ok[:, t] & (right > left), left, -1).astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
 
 
 def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_fine):
