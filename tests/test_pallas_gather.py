@@ -105,3 +105,26 @@ def test_batched_gather_and_grad():
         np.testing.assert_allclose(
             grad[b], _ref_scatter(2 * _ref_gather(table[b], idx[b]), idx[b], n), rtol=1e-5
         )
+
+
+def test_stacked9_interpret_matches_fallback(monkeypatch):
+    """The 9-tap stacked kernel (3 dy-group windows, [t][rows] output) must
+    equal the per-tap XLA fallback, through the Pallas interpreter."""
+    rng = np.random.RandomState(9)
+    w, n, m = 32, 1024, 512
+    tableT = jnp.asarray(rng.randn(w, n).astype(np.float32))
+    base = np.sort(np.clip(np.arange(m) + rng.randint(-2, 3, size=m) + 200, 40, n - 40)
+                   ).astype(np.int32)
+    idx = np.stack([np.clip(base + d, 0, n - 1) for d in
+                    (-33, -32, -31, -1, 0, 1, 31, 32, 33)], axis=1)
+    idx[rng.rand(m, 9) < 0.2] = -1
+    ij = jnp.asarray(idx)
+
+    want = np.concatenate(
+        [np.asarray(pg._xla_gather_t(tableT, ij[:, t])) for t in range(9)], axis=0
+    )
+    monkeypatch.setattr(pg, "INTERPRET", True)
+    lo3, li4, overflow = pg._stacked_prologue(ij, n)
+    assert not bool(overflow)
+    got = np.asarray(pg._pallas_gather9_stacked(tableT, lo3, li4, m))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -458,6 +458,138 @@ def gather_rows_taps_t(tableT, idx):
 
 
 # --------------------------------------------------------------------------
+# 9-tap stacked transposed gather: 3 dy-group windows, ONE [t][z][c] output
+# --------------------------------------------------------------------------
+#
+# Feeds the whole 3x3x3 conv in one kernel call: per block, three tight
+# dy-group windows are DMA'd (one per BEV row offset) and all nine one-hot
+# dots write contiguous per-tap row ranges of a single stacked output.
+# The consumer then runs ONE conv with (taps, z) as two spatial dims instead
+# of nine small convs + an 8-way add chain.
+
+
+def _gather9_stacked_kernel(lo_ref, li_ref, src, out_ref, win, sem):
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, w, s = win.shape
+
+    def start(blk, slot):
+        for g in range(3):
+            off = pl.multiple_of(lo_ref[blk, g], 128)
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(off, s)], win.at[slot, g], sem.at[slot, g]
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    for g in range(3):
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(pl.multiple_of(lo_ref[i, g], 128), s)],
+            win.at[slot, g],
+            sem.at[slot, g],
+        ).wait()
+
+    li = li_ref[0]  # (9, 8, B)
+    bsz = li.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s, bsz), 0)
+    for t in range(9):
+        g = t // 3
+        onehot = (iota == li[t, 0:1]).astype(src.dtype)
+        for b in range(nbuf):
+            @pl.when(slot == b)
+            def _(b=b, t=t, g=g, onehot=onehot):
+                out_ref[t * w : (t + 1) * w, :] = jnp.dot(
+                    win[b, g], onehot, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+
+def _pallas_gather9_stacked(tableT, lo, li4, m):
+    w, n = tableT.shape
+    nblk = m // BLOCK_T
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 9, 8, BLOCK_T), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (9 * w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, w, SPAN_T), tableT.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        _gather9_stacked_kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((9 * w, m), tableT.dtype),
+        interpret=INTERPRET,
+    )(lo, li4, tableT)
+
+
+def _stacked_prologue(idx, n):
+    m = idx.shape[0]
+    nblk = m // BLOCK_T
+    blk = idx.reshape(nblk, BLOCK_T, 9)
+    valid = blk >= 0
+    los = []
+    overflow = jnp.zeros((), bool)
+    lis = []
+    for g in range(3):
+        grp = blk[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
+        gv = valid[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
+        lo = jnp.min(jnp.where(gv, grp, INT_MAX), axis=1)
+        lo = jnp.where(lo == INT_MAX, 0, lo)
+        lo = (lo // 128) * 128
+        lo = jnp.minimum(lo, ((n - SPAN_T) // 128) * 128).astype(jnp.int32)
+        vli = grp - lo[:, None]
+        overflow = overflow | jnp.any(gv & (vli >= SPAN_T))
+        li = jnp.where(gv, jnp.clip(vli, 0, SPAN_T), SPAN_T).astype(jnp.int32)
+        los.append(lo)
+        lis.append(li.reshape(nblk, BLOCK_T, 3))
+    lo3 = jnp.stack(los, axis=1)  # (nblk, 3)
+    li9 = jnp.concatenate(lis, axis=2)  # (nblk, B, 9)
+    li4 = jnp.broadcast_to(
+        li9.transpose(0, 2, 1)[:, :, None, :], (nblk, 9, 8, BLOCK_T)
+    )
+    return lo3, li4, overflow
+
+
+def gather9_stacked_t(tableT, idx):
+    """tableT (W, N); idx (M, 9) batch-folded -> ((9*W), M) stacked
+    per-tap gathers in [t][rows-of-W] order (-1 => zero column). The fast
+    path requires the per-dy-group union span to fit SPAN_T; exact XLA
+    fallback otherwise. NOT differentiable (used inside pillar_conv3d_t's
+    custom VJP)."""
+    w, n = tableT.shape
+    m = idx.shape[0]
+
+    def fallback():
+        return jnp.concatenate(
+            [_xla_gather_t(tableT, idx[:, t]) for t in range(9)], axis=0
+        )
+
+    if not _pallas_ok_t(tableT.dtype, n, m, w):
+        return fallback()
+    lo3, li4, overflow = _stacked_prologue(idx, n)
+    return jax.lax.cond(
+        overflow, fallback, lambda: _pallas_gather9_stacked(tableT, lo3, li4, m)
+    )
+
+
+# --------------------------------------------------------------------------
 # transpose: span scatter-add
 # --------------------------------------------------------------------------
 

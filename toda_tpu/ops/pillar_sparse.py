@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_gather import gather_rows, gather_rows_taps, gather_rows_taps_t
+from .pallas_gather import (
+    gather9_stacked_t,
+    gather_rows,
+    gather_rows_taps,
+    gather_rows_taps_t,
+)
+from . import pallas_gather as _pg
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -81,15 +87,18 @@ def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_p
     ok = svalid & (pillar_idx < max_pillars)
 
     cell = jnp.where(ok, pillar_idx * nz + sz, max_pillars * nz)
-    feat_sum = (
-        jnp.zeros((max_pillars * nz, c), dtype=points.dtype)
+    # ONE scatter for sums and counts (ones column appended) — XLA scatters
+    # are latency-bound per update row, so a second count scatter would cost
+    # as much as this one
+    ones = jnp.ones((p_pts, 1), dtype=points.dtype)
+    feat_cnt = (
+        jnp.zeros((max_pillars * nz, c + 1), dtype=points.dtype)
         .at[cell]
-        .add(spoints, mode="drop")
+        .add(jnp.concatenate([spoints, ones], axis=-1), mode="drop")
     )
-    counts = (
-        jnp.zeros((max_pillars * nz,), dtype=jnp.int32).at[cell].add(1, mode="drop")
-    )
-    feats = feat_sum / jnp.maximum(counts, 1)[:, None].astype(points.dtype)
+    countsf = feat_cnt[:, c]
+    counts = countsf.astype(jnp.int32)
+    feats = feat_cnt[:, :c] / jnp.maximum(countsf, 1)[:, None]
 
     rows = jnp.where(head & (pillar_idx < max_pillars), pillar_idx, max_pillars)
     key_of = jnp.full((max_pillars,), -1, dtype=jnp.int32).at[rows].set(skey, mode="drop")
@@ -309,8 +318,27 @@ def _grouped_gathers_t(tableT, idx9, identity_tap):
 def _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap):
     cout = weights.shape[-1]
     c = flatT.shape[0] // nz
+    mf = flatT.shape[1]
     nz_out = -(-nz // z_stride)
     haloT = jnp.pad(flatT, ((c, c), (0, 0)))  # z halo = C rows top/bottom
+
+    if _pg._pallas_ok_t(flatT.dtype, mf, idxf.shape[0], (nz + 2) * c):
+        # stacked fast path: one kernel gathers all 9 taps ([t][z][c] rows),
+        # then ONE conv with (taps, z) as two spatial dims — no add chain,
+        # no nine small convs. (The center tap rides the window like any
+        # other; the identity shortcut only matters for the backward.)
+        stacked = gather9_stacked_t(haloT, idxf)  # (9*(nz+2)*c, Mf_out)
+        g4 = stacked.reshape(9, nz + 2, c, -1)
+        w9 = weights.transpose(1, 2, 0, 3, 4).reshape(9, 3, c, cout)
+        acc = jax.lax.conv_general_dilated(
+            g4,
+            w9,
+            window_strides=(1, z_stride),
+            padding="VALID",
+            dimension_numbers=("UWCN", "UWIO", "UWCN"),
+        )[0]  # (nz_out, Cout, Mf_out)
+        acc = jnp.where(maskf[None, None, :], acc, 0.0)
+        return acc.reshape(nz_out * cout, -1)
 
     def tap_conv(gT, dy, dx):
         g3 = gT.reshape(nz + 2, c, -1)  # free: splits the MAJOR dim
