@@ -124,7 +124,7 @@ def test_stacked9_interpret_matches_fallback(monkeypatch):
         [np.asarray(pg._xla_gather_t(tableT, ij[:, t])) for t in range(9)], axis=0
     )
     monkeypatch.setattr(pg, "INTERPRET", True)
-    lo3, li4, overflow = pg._stacked_prologue(ij, n)
+    lo3, li4, overflow = pg._stacked_prologue(ij, n, pg.SPAN_T)
     assert not bool(overflow)
-    got = np.asarray(pg._pallas_gather9_stacked(tableT, lo3, li4, m))
+    got = np.asarray(pg._pallas_gather9_stacked(tableT, lo3, li4, m, pg.SPAN_T))
     np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -220,3 +220,46 @@ def test_transposed_downsample_conv_matches_rowmajor():
     cout = w.shape[-1]
     got = outT.reshape(nz_out, cout, -1).transpose(2, 0, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-5)
+
+
+def test_stacked_paths_interpret_match_reference(monkeypatch):
+    """Force the stacked fwd conv + stacked bwd (interleaved inverse gather,
+    9*Cout-channel conv) through the Pallas interpreter and pin values and
+    gradients against the plain take-based reference."""
+    from toda_tpu.ops import pallas_gather as pg
+    from toda_tpu.ops.pillar_sparse import pillar_conv3d_t
+
+    monkeypatch.setattr(pg, "INTERPRET", True)
+    rng = np.random.RandomState(21)
+    p, nz, c, cout = 512, 4, 16, 16
+    ny = nx = 64
+    n_occ = p - 20
+    keys = np.sort(rng.choice(ny * nx, size=n_occ, replace=False))
+    coords = np.full((p, 2), -1, np.int32)
+    coords[:n_occ, 0] = keys // nx
+    coords[:n_occ, 1] = keys % nx
+    mask = np.zeros(p, bool)
+    mask[:n_occ] = True
+    feats = (rng.randn(p, nz, c) * mask[:, None, None]).astype(np.float32)
+    w = (rng.randn(3, 3, 3, c, cout) * 0.2).astype(np.float32)
+
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    nbr = bev_neighbor_idx_sorted(cj, mj, cj, mj, (ny, nx), 1)
+    inv = nbr[:, ::-1]
+    flatT = jnp.asarray(feats).transpose(1, 2, 0).reshape(nz * c, p)
+
+    def loss_t(fT, wt):
+        return (pillar_conv3d_t(fT, nbr, wt, mj, nz, 1, None, inv) ** 2).sum()
+
+    def loss_ref(f, wt):
+        return (_reference_conv(f, nbr, wt, mj, 1) ** 2).sum()
+
+    np.testing.assert_allclose(
+        float(loss_t(flatT, jnp.asarray(w))),
+        float(loss_ref(jnp.asarray(feats), jnp.asarray(w))), rtol=1e-5,
+    )
+    gt_f, gt_w = jax.grad(loss_t, argnums=(0, 1))(flatT, jnp.asarray(w))
+    gr_f, gr_w = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    gt_f_r = gt_f.reshape(nz, c, p).transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(gt_f_r), np.asarray(gr_f), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gt_w), np.asarray(gr_w), rtol=3e-4, atol=1e-4)

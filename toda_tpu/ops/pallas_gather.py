@@ -389,7 +389,7 @@ def _gather_taps_t_kernel(lo_ref, li_ref, src, *refs):
                 ).astype(out_ref.dtype)
 
 
-def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
+def _pallas_gather_taps_t(tableT, lo, li4, m, ntap, span):
     w, n = tableT.shape
     nblk = m // BLOCK_T
     gs = pltpu.PrefetchScalarGridSpec(
@@ -406,7 +406,7 @@ def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
             for _ in range(ntap)
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, w, SPAN_T), tableT.dtype),
+            pltpu.VMEM((NBUF, w, span), tableT.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -418,7 +418,7 @@ def _pallas_gather_taps_t(tableT, lo, li4, m, ntap):
     )(lo, li4, tableT)
 
 
-def _taps_t_prologue(idx, n):
+def _taps_t_prologue(idx, n, span):
     m, ntap = idx.shape
     nblk = m // BLOCK_T
     blk = idx.reshape(nblk, BLOCK_T * ntap)
@@ -426,34 +426,36 @@ def _taps_t_prologue(idx, n):
     lo = jnp.min(jnp.where(valid, blk, INT_MAX), axis=1)
     lo = jnp.where(lo == INT_MAX, 0, lo)
     lo = (lo // 128) * 128
-    lo = jnp.minimum(lo, ((n - SPAN_T) // 128) * 128).astype(jnp.int32)
+    lo = jnp.minimum(lo, ((n - span) // 128) * 128).astype(jnp.int32)
     vli = blk - lo[:, None]
-    overflow = jnp.any(valid & (vli >= SPAN_T))
-    li = jnp.where(valid, jnp.clip(vli, 0, SPAN_T), SPAN_T).astype(jnp.int32)
+    overflow = jnp.any(valid & (vli >= span))
+    li = jnp.where(valid, jnp.clip(vli, 0, span), span).astype(jnp.int32)
     li4 = li.reshape(nblk, BLOCK_T, ntap).transpose(0, 2, 1)  # (nblk, T, B)
     li4 = jnp.broadcast_to(li4[:, :, None, :], (nblk, ntap, 8, BLOCK_T))
     return lo, li4, overflow
 
 
-def gather_rows_taps_t(tableT, idx):
+def gather_rows_taps_t(tableT, idx, span=None):
     """Transposed fused multi-tap gather: tableT (W, N); idx (M, T), -1 =>
     zero column. Returns list of T arrays (W, M). Indices must already be
     batch-folded (the caller offsets per-sample indices into the folded
-    column space). NOT differentiable — used inside pillar_conv3d_t's
-    custom VJP."""
+    column space). `span` widens the window for strided (slope > 1) index
+    streams. NOT differentiable — used inside pillar_conv3d_t's custom
+    VJP."""
     w, n = tableT.shape
     m, ntap = idx.shape
+    span = span or SPAN_T
 
     def fallback():
         return tuple(_xla_gather_t(tableT, idx[:, t]) for t in range(ntap))
 
-    if not _pallas_ok_t(tableT.dtype, n, m, w):
+    if not _pallas_ok_t(tableT.dtype, n, m, w) or n < span:
         return fallback()
-    lo, li4, overflow = _taps_t_prologue(idx, n)
+    lo, li4, overflow = _taps_t_prologue(idx, n, span)
     return jax.lax.cond(
         overflow,
         fallback,
-        lambda: tuple(_pallas_gather_taps_t(tableT, lo, li4, m, ntap)),
+        lambda: tuple(_pallas_gather_taps_t(tableT, lo, li4, m, ntap, span)),
     )
 
 
@@ -468,7 +470,7 @@ def gather_rows_taps_t(tableT, idx):
 # of nine small convs + an 8-way add chain.
 
 
-def _gather9_stacked_kernel(lo_ref, li_ref, src, out_ref, win, sem):
+def _gather9_stacked_kernel(chunk, lo_ref, li_ref, src, out_ref, win, sem):
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     nbuf, _, w, s = win.shape
@@ -506,12 +508,20 @@ def _gather9_stacked_kernel(lo_ref, li_ref, src, out_ref, win, sem):
         for b in range(nbuf):
             @pl.when(slot == b)
             def _(b=b, t=t, g=g, onehot=onehot):
-                out_ref[t * w : (t + 1) * w, :] = jnp.dot(
+                res = jnp.dot(
                     win[b, g], onehot, preferred_element_type=jnp.float32
                 ).astype(out_ref.dtype)
+                if chunk is None:  # [t][rows] contiguous per tap
+                    out_ref[t * w : (t + 1) * w, :] = res
+                else:  # interleave chunks: row j*9*chunk + t*chunk
+                    for j in range(w // chunk):
+                        dst = j * 9 * chunk + t * chunk
+                        out_ref[dst : dst + chunk, :] = res[
+                            j * chunk : (j + 1) * chunk, :
+                        ]
 
 
-def _pallas_gather9_stacked(tableT, lo, li4, m):
+def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None):
     w, n = tableT.shape
     nblk = m // BLOCK_T
     gs = pltpu.PrefetchScalarGridSpec(
@@ -527,19 +537,19 @@ def _pallas_gather9_stacked(tableT, lo, li4, m):
             (9 * w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 3, w, SPAN_T), tableT.dtype),
+            pltpu.VMEM((NBUF, 3, w, span), tableT.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
     )
     return pl.pallas_call(
-        _gather9_stacked_kernel,
+        functools.partial(_gather9_stacked_kernel, chunk),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((9 * w, m), tableT.dtype),
         interpret=INTERPRET,
     )(lo, li4, tableT)
 
 
-def _stacked_prologue(idx, n):
+def _stacked_prologue(idx, n, span):
     m = idx.shape[0]
     nblk = m // BLOCK_T
     blk = idx.reshape(nblk, BLOCK_T, 9)
@@ -553,10 +563,10 @@ def _stacked_prologue(idx, n):
         lo = jnp.min(jnp.where(gv, grp, INT_MAX), axis=1)
         lo = jnp.where(lo == INT_MAX, 0, lo)
         lo = (lo // 128) * 128
-        lo = jnp.minimum(lo, ((n - SPAN_T) // 128) * 128).astype(jnp.int32)
+        lo = jnp.minimum(lo, ((n - span) // 128) * 128).astype(jnp.int32)
         vli = grp - lo[:, None]
-        overflow = overflow | jnp.any(gv & (vli >= SPAN_T))
-        li = jnp.where(gv, jnp.clip(vli, 0, SPAN_T), SPAN_T).astype(jnp.int32)
+        overflow = overflow | jnp.any(gv & (vli >= span))
+        li = jnp.where(gv, jnp.clip(vli, 0, span), span).astype(jnp.int32)
         los.append(lo)
         lis.append(li.reshape(nblk, BLOCK_T, 3))
     lo3 = jnp.stack(los, axis=1)  # (nblk, 3)
@@ -567,25 +577,32 @@ def _stacked_prologue(idx, n):
     return lo3, li4, overflow
 
 
-def gather9_stacked_t(tableT, idx):
+def gather9_stacked_t(tableT, idx, span=None, chunk=None):
     """tableT (W, N); idx (M, 9) batch-folded -> ((9*W), M) stacked
-    per-tap gathers in [t][rows-of-W] order (-1 => zero column). The fast
-    path requires the per-dy-group union span to fit SPAN_T; exact XLA
-    fallback otherwise. NOT differentiable (used inside pillar_conv3d_t's
-    custom VJP)."""
+    per-tap gathers (-1 => zero column). Row order: [t][rows-of-W] when
+    chunk is None, else chunks of `chunk` rows interleaved as
+    [j][t][chunk] (row j*9*chunk + t*chunk) — the layout a consumer conv
+    with (taps, z) folded into channels wants. The fast path requires the
+    per-dy-group union span to fit `span`; exact XLA fallback otherwise.
+    NOT differentiable (used inside pillar_conv3d_t's custom VJP)."""
     w, n = tableT.shape
     m = idx.shape[0]
+    span = span or SPAN_T
 
     def fallback():
-        return jnp.concatenate(
-            [_xla_gather_t(tableT, idx[:, t]) for t in range(9)], axis=0
-        )
+        gs = [_xla_gather_t(tableT, idx[:, t]) for t in range(9)]
+        if chunk is None:
+            return jnp.concatenate(gs, axis=0)
+        stk = jnp.stack(gs, axis=0).reshape(9, w // chunk, chunk, m)
+        return stk.transpose(1, 0, 2, 3).reshape(9 * w, m)
 
-    if not _pallas_ok_t(tableT.dtype, n, m, w):
+    if not _pallas_ok_t(tableT.dtype, n, m, w) or n < span:
         return fallback()
-    lo3, li4, overflow = _stacked_prologue(idx, n)
+    lo3, li4, overflow = _stacked_prologue(idx, n, span)
     return jax.lax.cond(
-        overflow, fallback, lambda: _pallas_gather9_stacked(tableT, lo3, li4, m)
+        overflow,
+        fallback,
+        lambda: _pallas_gather9_stacked(tableT, lo3, li4, m, span, chunk),
     )
 
 

@@ -87,18 +87,18 @@ def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_p
     ok = svalid & (pillar_idx < max_pillars)
 
     cell = jnp.where(ok, pillar_idx * nz + sz, max_pillars * nz)
-    # ONE scatter for sums and counts (ones column appended) — XLA scatters
-    # are latency-bound per update row, so a second count scatter would cost
-    # as much as this one
-    ones = jnp.ones((p_pts, 1), dtype=points.dtype)
-    feat_cnt = (
-        jnp.zeros((max_pillars * nz, c + 1), dtype=points.dtype)
+    # NOTE: merging counts into this scatter as a ones-column was measured
+    # 2x SLOWER (the c+1-column payload lands in a worse tiling); keep the
+    # two scatters separate.
+    feat_sum = (
+        jnp.zeros((max_pillars * nz, c), dtype=points.dtype)
         .at[cell]
-        .add(jnp.concatenate([spoints, ones], axis=-1), mode="drop")
+        .add(spoints, mode="drop")
     )
-    countsf = feat_cnt[:, c]
-    counts = countsf.astype(jnp.int32)
-    feats = feat_cnt[:, :c] / jnp.maximum(countsf, 1)[:, None]
+    counts = (
+        jnp.zeros((max_pillars * nz,), dtype=jnp.int32).at[cell].add(1, mode="drop")
+    )
+    feats = feat_sum / jnp.maximum(counts, 1)[:, None].astype(points.dtype)
 
     rows = jnp.where(head & (pillar_idx < max_pillars), pillar_idx, max_pillars)
     key_of = jnp.full((max_pillars,), -1, dtype=jnp.int32).at[rows].set(skey, mode="drop")
@@ -304,13 +304,13 @@ _pillar_conv3d_core.defvjp(_core_fwd, _core_bwd)
 # layers only split/merge MAJOR dims (free).
 
 
-def _grouped_gathers_t(tableT, idx9, identity_tap):
+def _grouped_gathers_t(tableT, idx9, identity_tap, span=None):
     out = []
     for grp_base in (0, 3, 6):
         grp = [t for t in range(grp_base, grp_base + 3) if t != identity_tap]
         if not grp:
             continue
-        gs = gather_rows_taps_t(tableT, idx9[:, grp])
+        gs = gather_rows_taps_t(tableT, idx9[:, grp], span)
         out.extend(zip(grp, gs))
     return out
 
@@ -322,12 +322,20 @@ def _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap):
     nz_out = -(-nz // z_stride)
     haloT = jnp.pad(flatT, ((c, c), (0, 0)))  # z halo = C rows top/bottom
 
-    if _pg._pallas_ok_t(flatT.dtype, mf, idxf.shape[0], (nz + 2) * c):
+    # strided (downsample) convs advance input indices at ~stride^2 rows per
+    # output row, so their group windows need the wider span
+    span = None if z_stride == 1 else 4 * _pg.BLOCK_T
+    if (
+        z_stride == 1  # strided stacked windows (3x wide span) exceed VMEM
+        and c % 16 == 0
+        and _pg._pallas_ok_t(flatT.dtype, mf, idxf.shape[0], (nz + 2) * c)
+    ):
         # stacked fast path: one kernel gathers all 9 taps ([t][z][c] rows),
         # then ONE conv with (taps, z) as two spatial dims — no add chain,
         # no nine small convs. (The center tap rides the window like any
-        # other; the identity shortcut only matters for the backward.)
-        stacked = gather9_stacked_t(haloT, idxf)  # (9*(nz+2)*c, Mf_out)
+        # other; the identity shortcut only matters for the backward.
+        # c % 16: the per-tap output row ranges must be sublane-tile aligned.)
+        stacked = gather9_stacked_t(haloT, idxf, span)  # (9*(nz+2)*c, Mf_out)
         g4 = stacked.reshape(9, nz + 2, c, -1)
         w9 = weights.transpose(1, 2, 0, 3, 4).reshape(9, 3, c, cout)
         acc = jax.lax.conv_general_dilated(
@@ -351,7 +359,7 @@ def _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap):
         )  # (nz_out, Cout, Mf)
 
     acc = None
-    for t, gT in _grouped_gathers_t(haloT, idxf, identity_tap):
+    for t, gT in _grouped_gathers_t(haloT, idxf, identity_tap, span):
         contrib = tap_conv(gT, *divmod(t, 3))
         acc = contrib if acc is None else acc + contrib
     if identity_tap is not None:
@@ -378,9 +386,38 @@ def _core_t_bwd(nz, z_stride, identity_tap, res, ob):
     cout = weights.shape[-1]
     nz_out = -(-nz // z_stride)
     mf_in = flatT.shape[1]
+    mf_out = ob.shape[1]
+    w2 = nz_out * cout
 
     ob = jnp.where(maskf[None, :], ob, 0).astype(flatT.dtype)  # (nz_out*cout, Mf_out)
     haloT = jnp.pad(flatT, ((c, c), (0, 0)))
+
+    if cout % 16 == 0 and _pg._pallas_ok_t(ob.dtype, mf_out, mf_in, w2):
+        # stacked backward, mirroring the forward: ONE interleaved inverse
+        # gather feeds both cotangents through a single 9*Cout-channel conv.
+        #   E(x)[zo, t*cout+co] = C_t(x)[zo, co]  (one conv, output channels
+        #   stacked over taps);  x_bar = E^T(gob),  wbar = dE/dW^T(gob)
+        # where gob[zo, t*cout+co, i] = ob[zo, co, inv_t(i)].
+        gobI = gather9_stacked_t(ob, invf, None, cout)  # (nz_out*9cout, Mf_in)
+        g3 = gobI.reshape(nz_out, 9 * cout, mf_in)
+        w_e = weights.transpose(0, 3, 1, 2, 4).reshape(3, c, 9 * cout)
+
+        def conv_e(xflat, wts):
+            return jax.lax.conv_general_dilated(
+                xflat.reshape(nz + 2, c, -1), wts, window_strides=(z_stride,),
+                padding="VALID", dimension_numbers=("WCN", "WIO", "WCN"),
+            )
+
+        fT = jax.linear_transpose(
+            lambda xf: conv_e(xf, w_e),
+            jax.ShapeDtypeStruct(((nz + 2) * c, mf_in), flatT.dtype),
+        )
+        (acc,) = fT(g3)
+        _, vjp_we = jax.vjp(lambda wts: conv_e(haloT, wts), w_e)
+        wbar_e = vjp_we(g3)[0]  # (3, c, 9cout)
+        wbar = wbar_e.reshape(3, c, 3, 3, cout).transpose(0, 2, 3, 1, 4)
+        fbar = acc[c:-c, :]
+        return fbar.astype(flatT.dtype), wbar, None, None, None
 
     def tap_conv(gT, dy, dx, wts):
         g3 = gT.reshape(nz + 2, c, -1)
