@@ -470,7 +470,12 @@ def gather_rows_taps_t(tableT, idx, span=None):
 # of nine small convs + an 8-way add chain.
 
 
-def _gather9_stacked_kernel(chunk, lo_ref, li_ref, src, out_ref, win, sem):
+def _gather9_stacked_kernel(chunk, identity, lo_ref, li_ref, src, *refs):
+    if identity is None:
+        out_ref, win, sem = refs
+        xblk = None
+    else:
+        xblk, out_ref, win, sem = refs
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     nbuf, _, w, s = win.shape
@@ -502,37 +507,51 @@ def _gather9_stacked_kernel(chunk, lo_ref, li_ref, src, out_ref, win, sem):
     li = li_ref[0]  # (9, 8, B)
     bsz = li.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (s, bsz), 0)
+
+    def emit(t, res):
+        if chunk is None:  # [t][rows] contiguous per tap
+            out_ref[t * w : (t + 1) * w, :] = res
+        else:  # interleave chunks: row j*9*chunk + t*chunk
+            for j in range(w // chunk):
+                dst = j * 9 * chunk + t * chunk
+                out_ref[dst : dst + chunk, :] = res[j * chunk : (j + 1) * chunk, :]
+
     for t in range(9):
+        if t == identity:
+            # identity tap: the block's own columns, fetched by the pipeline —
+            # no one-hot dot needed
+            emit(t, xblk[:])
+            continue
         g = t // 3
         onehot = (iota == li[t, 0:1]).astype(src.dtype)
         for b in range(nbuf):
             @pl.when(slot == b)
             def _(b=b, t=t, g=g, onehot=onehot):
-                res = jnp.dot(
+                emit(t, jnp.dot(
                     win[b, g], onehot, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype)
-                if chunk is None:  # [t][rows] contiguous per tap
-                    out_ref[t * w : (t + 1) * w, :] = res
-                else:  # interleave chunks: row j*9*chunk + t*chunk
-                    for j in range(w // chunk):
-                        dst = j * 9 * chunk + t * chunk
-                        out_ref[dst : dst + chunk, :] = res[
-                            j * chunk : (j + 1) * chunk, :
-                        ]
+                ).astype(out_ref.dtype))
 
 
-def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None):
+def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None, identity=None,
+                            xsrc=None):
     w, n = tableT.shape
     nblk = m // BLOCK_T
+    in_specs = [
+        pl.BlockSpec(
+            (1, 9, 8, BLOCK_T), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [lo, li4, tableT]
+    if identity is not None:
+        in_specs.append(
+            pl.BlockSpec((w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(xsrc)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 9, 8, BLOCK_T), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (9 * w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM
         ),
@@ -542,11 +561,11 @@ def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gather9_stacked_kernel, chunk),
+        functools.partial(_gather9_stacked_kernel, chunk, identity),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((9 * w, m), tableT.dtype),
         interpret=INTERPRET,
-    )(lo, li4, tableT)
+    )(*args)
 
 
 def _stacked_prologue(idx, n, span):
@@ -577,7 +596,7 @@ def _stacked_prologue(idx, n, span):
     return lo3, li4, overflow
 
 
-def gather9_stacked_t(tableT, idx, span=None, chunk=None):
+def gather9_stacked_t(tableT, idx, span=None, chunk=None, identity_tap=None):
     """tableT (W, N); idx (M, 9) batch-folded -> ((9*W), M) stacked
     per-tap gathers (-1 => zero column). Row order: [t][rows-of-W] when
     chunk is None, else chunks of `chunk` rows interleaved as
@@ -598,11 +617,15 @@ def gather9_stacked_t(tableT, idx, span=None, chunk=None):
 
     if not _pallas_ok_t(tableT.dtype, n, m, w) or n < span:
         return fallback()
+    # the identity shortcut only applies when output rows == table columns
+    identity = identity_tap if (identity_tap is not None and m == n) else None
     lo3, li4, overflow = _stacked_prologue(idx, n, span)
     return jax.lax.cond(
         overflow,
         fallback,
-        lambda: _pallas_gather9_stacked(tableT, lo3, li4, m, span, chunk),
+        lambda: _pallas_gather9_stacked(
+            tableT, lo3, li4, m, span, chunk, identity, tableT
+        ),
     )
 
 

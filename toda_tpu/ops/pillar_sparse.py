@@ -335,7 +335,9 @@ def _conv_fwd_impl_t(flatT, weights, idxf, maskf, nz, z_stride, identity_tap):
         # no nine small convs. (The center tap rides the window like any
         # other; the identity shortcut only matters for the backward.
         # c % 16: the per-tap output row ranges must be sublane-tile aligned.)
-        stacked = gather9_stacked_t(haloT, idxf, span)  # (9*(nz+2)*c, Mf_out)
+        stacked = gather9_stacked_t(
+            haloT, idxf, span, identity_tap=identity_tap
+        )  # (9*(nz+2)*c, Mf_out)
         g4 = stacked.reshape(9, nz + 2, c, -1)
         w9 = weights.transpose(1, 2, 0, 3, 4).reshape(9, 3, c, cout)
         acc = jax.lax.conv_general_dilated(
@@ -398,7 +400,9 @@ def _core_t_bwd(nz, z_stride, identity_tap, res, ob):
         #   E(x)[zo, t*cout+co] = C_t(x)[zo, co]  (one conv, output channels
         #   stacked over taps);  x_bar = E^T(gob),  wbar = dE/dW^T(gob)
         # where gob[zo, t*cout+co, i] = ob[zo, co, inv_t(i)].
-        gobI = gather9_stacked_t(ob, invf, None, cout)  # (nz_out*9cout, Mf_in)
+        gobI = gather9_stacked_t(
+            ob, invf, None, cout, identity_tap=identity_tap
+        )  # (nz_out*9cout, Mf_in)
         g3 = gobI.reshape(nz_out, 9 * cout, mf_in)
         w_e = weights.transpose(0, 3, 1, 2, 4).reshape(3, c, 9 * cout)
 
