@@ -1,5 +1,10 @@
 from .mean_vfe import MeanVFE
 from .pillar_vfe import PillarVFE
-from .dynamic_vfe import DynamicMeanVFE
+from .dynamic_vfe import DynamicMeanVFE, DynamicPillarVFE
 
-__all__ = {"MeanVFE": MeanVFE, "PillarVFE": PillarVFE, "DynamicMeanVFE": DynamicMeanVFE}
+__all__ = {
+    "MeanVFE": MeanVFE,
+    "PillarVFE": PillarVFE,
+    "DynamicMeanVFE": DynamicMeanVFE,
+    "DynamicPillarVFE": DynamicPillarVFE,
+}

@@ -97,7 +97,9 @@ class Detector3D(nn.Module):
         bb3d_name = cfg.get("BACKBONE_3D", {}).get("NAME") if cfg.get("BACKBONE_3D") else None
         vfe_name = cfg.get("VFE", {}).get("NAME") if cfg.get("VFE") else None
         # pillar backbones and dynamic VFEs own their voxelization
-        skip_voxelize = bb3d_name in POINT_CONSUMING or vfe_name == "DynamicMeanVFE"
+        skip_voxelize = bb3d_name in POINT_CONSUMING or vfe_name in (
+            "DynamicMeanVFE", "DynamicPillarVFE"
+        )
         if "voxels" not in batch_dict and not skip_voxelize:
             batch_dict = self._voxelize(batch_dict)
 
@@ -109,7 +111,7 @@ class Detector3D(nn.Module):
                     voxel_size=self.meta.voxel_size,
                     point_cloud_range=self.meta.point_cloud_range,
                 )
-            elif vfe_name == "DynamicMeanVFE":
+            elif vfe_name in ("DynamicMeanVFE", "DynamicPillarVFE"):
                 kwargs.update(
                     voxel_size=self.meta.voxel_size,
                     point_cloud_range=self.meta.point_cloud_range,
@@ -376,9 +378,20 @@ class DetectorBundle:
             self.box_coder = ResidualCoder(code_size=7)
             code_size = self.box_coder.code_size
             self.anchors = jnp.asarray(anchors)
-            self.assigner = AxisAlignedTargetAssigner(
-                anchors, anchor_cls, m_thr, u_thr, self.box_coder
-            )
+            ta_cfg = model_cfg["DENSE_HEAD"].get("TARGET_ASSIGNER_CONFIG", {})
+            if ta_cfg.get("NAME") == "ATSSTargetAssigner":
+                from ..dense_heads.target_assigner.atss_target_assigner import (
+                    ATSSTargetAssigner,
+                )
+
+                self.assigner = ATSSTargetAssigner(
+                    ta_cfg.get("TOPK", 9), self.box_coder, anchors,
+                    match_height=ta_cfg.get("MATCH_HEIGHT", False),
+                )
+            else:
+                self.assigner = AxisAlignedTargetAssigner(
+                    anchors, anchor_cls, m_thr, u_thr, self.box_coder
+                )
         elif self.dense_head_name == "AnchorHeadMulti":
             # one independent anchor set + assigner per RPN_HEAD_CFGS group
             # (reference anchor_head_multi.make_multihead)
