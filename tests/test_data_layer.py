@@ -196,3 +196,72 @@ def test_shared_memory_db_mmap(tmp_path):
     sampler = DataBaseSampler(tmp_path, cfg, ["car"])
     pts = sampler._load_points(infos["car"][0])
     assert np.allclose(pts, all_pts[10:30])
+
+
+def test_pyramid_helpers_and_augs():
+    from toda_tpu.datasets.augmentor import augmentor_utils as au
+
+    rng = np.random.RandomState(3)
+    boxes = np.array([
+        [0, 0, 0, 4.0, 2.0, 2.0, 0.3],
+        [10, 5, 0, 3.0, 1.6, 1.5, -0.5],
+    ], np.float32)
+    pyr = au.get_pyramids(boxes)
+    assert pyr.shape == (2, 6, 15)
+    # apex is the box center
+    np.testing.assert_allclose(pyr[:, :, :3], np.broadcast_to(boxes[:, None, :3], (2, 6, 3)))
+
+    # a point at the box center belongs to... no pyramid strictly (it's the
+    # shared apex); points near a face center belong to exactly one pyramid
+    probe = np.array([[1.7, 0.0, 0.0, 0.5]], np.float32)  # near +x face of box 0
+    m = au.points_in_pyramids_mask(probe, pyr[0])
+    assert m.sum() == 1
+
+    # in-box points union over the 6 pyramids == points in the box
+    pts = rng.uniform(-3, 3, size=(500, 4)).astype(np.float32)
+    inbox, mask = au.get_points_in_box(pts, boxes[0])
+    m_all = au.points_in_pyramids_mask(pts, pyr[0])
+    np.testing.assert_array_equal(m_all.any(-1), mask)
+
+    # dropout removes exactly the points of the dropped pyramids
+    np.random.seed(0)
+    dense = np.concatenate(
+        [rng.uniform(-1.9, 1.9, size=(400, 1)) * np.array([[1.0]]),
+         rng.uniform(-0.9, 0.9, size=(400, 1)),
+         rng.uniform(-0.9, 0.9, size=(400, 1)),
+         rng.uniform(0, 1, size=(400, 1))], axis=1
+    ).astype(np.float32)
+    gb, pts2, rem = au.local_pyramid_dropout(boxes.copy(), dense.copy(), 1.0)
+    assert pts2.shape[0] < dense.shape[0]
+
+    # sparsify caps the points of selected pyramids
+    np.random.seed(1)
+    gb, pts3, rem = au.local_pyramid_sparsify(boxes.copy(), dense.copy(), 1.0, 10)
+    assert pts3.shape[0] <= dense.shape[0]
+
+    # swap keeps total point count and stays finite
+    np.random.seed(2)
+    two_box_pts = np.concatenate([
+        dense, dense + np.array([[10, 5, 0, 0]], np.float32)
+    ], axis=0)
+    gb, pts4 = au.local_pyramid_swap(boxes.copy(), two_box_pts.copy(), 1.0, 5)
+    assert np.isfinite(pts4).all()
+    assert pts4.shape[0] == two_box_pts.shape[0]
+
+
+def test_local_translation_replay():
+    from toda_tpu.datasets.augmentor import augmentor_utils as au
+
+    rng = np.random.RandomState(4)
+    boxes = np.array([[0, 0, 0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+    pts = rng.uniform(-0.9, 0.9, size=(50, 4)).astype(np.float32)
+    np.random.seed(7)
+    b1, p1, offs = au.random_local_translation_along_x(
+        boxes.copy(), pts.copy(), [0.5, 1.0]
+    )
+    b2, p2, _ = au.random_local_translation_along_x(
+        boxes.copy(), pts.copy(), [0.5, 1.0], params=offs
+    )
+    np.testing.assert_allclose(p1, p2)
+    np.testing.assert_allclose(b1, b2)
+    assert b1[0, 0] >= 0.5

@@ -185,3 +185,224 @@ def reverse_boxes_transform(boxes, aug_params):
         elif name == "random_world_translation":
             boxes[:, :3] -= np.asarray(p)
     return boxes
+
+
+# ---------------------------------------------------------------------------
+# local translations + pyramid-partition augmentations
+# Reference: pcdet/datasets/augmentor/augmentor_utils.py:178-242 (local
+# translations), :474-531 (pyramid helpers), :535-585 (dropout/sparsify),
+# :585-660 (swap). Host-side numpy, record/replayable where parameterizable.
+# ---------------------------------------------------------------------------
+
+
+def get_points_in_box(points, box):
+    """Mask of points inside one 7-dof box (local-frame extent check)."""
+    shift = points[:, :3] - box[:3]
+    c, s = np.cos(-box[6]), np.sin(-box[6])
+    lx = shift[:, 0] * c - shift[:, 1] * s
+    ly = shift[:, 0] * s + shift[:, 1] * c
+    mask = (
+        (np.abs(lx) <= box[3] / 2)
+        & (np.abs(ly) <= box[4] / 2)
+        & (np.abs(shift[:, 2]) <= box[5] / 2)
+    )
+    return points[mask], mask
+
+
+def _random_local_translation(gt_boxes, points, offset_range, axis, params=None):
+    n = gt_boxes.shape[0]
+    offsets = params if params is not None else np.random.uniform(
+        offset_range[0], offset_range[1], size=n
+    )
+    for idx in range(n):
+        if gt_boxes[idx, 3:6].max() <= 0:
+            continue
+        _, mask = get_points_in_box(points, gt_boxes[idx])
+        points[mask, axis] += offsets[idx]
+        gt_boxes[idx, axis] += offsets[idx]
+    return gt_boxes, points, offsets
+
+
+def random_local_translation_along_x(gt_boxes, points, offset_range, params=None):
+    return _random_local_translation(gt_boxes, points, offset_range, 0, params)
+
+
+def random_local_translation_along_y(gt_boxes, points, offset_range, params=None):
+    return _random_local_translation(gt_boxes, points, offset_range, 1, params)
+
+
+def random_local_translation_along_z(gt_boxes, points, offset_range, params=None):
+    return _random_local_translation(gt_boxes, points, offset_range, 2, params)
+
+
+def get_pyramids(boxes):
+    """(N, 7+) boxes -> (N, 6, 15) face pyramids: apex (box center) + the 4
+    corners of each of the six faces, flattened. Face/corner ordering follows
+    the reference's pyramid_orders over boxes_to_corners_3d."""
+    from ...utils.box_utils import boxes_to_corners_3d
+
+    orders = np.array([
+        [0, 1, 5, 4], [4, 5, 6, 7], [7, 6, 2, 3],
+        [3, 2, 1, 0], [1, 2, 6, 5], [0, 4, 7, 3],
+    ])
+    corners = boxes_to_corners_3d(boxes[:, :7]).reshape(-1, 8, 3)
+    pyr = np.empty((boxes.shape[0], 6, 15), dtype=boxes.dtype)
+    for f, order in enumerate(orders):
+        pyr[:, f, 0:3] = boxes[:, 0:3]
+        for k, ci in enumerate(order):
+            pyr[:, f, 3 + 3 * k : 6 + 3 * k] = corners[:, ci]
+    return pyr
+
+
+def _points_in_one_pyramid(points, pyr):
+    """Half-space test against the 5 faces of one (15,) pyramid. The hull of
+    apex + base quad; normals oriented toward the centroid."""
+    verts = pyr.reshape(5, 3)
+    apex, base = verts[0], verts[1:]
+    centroid = verts.mean(axis=0)
+    faces = [
+        (base[0], base[1], base[2]),  # base plane (quad is planar per face)
+        (apex, base[0], base[1]),
+        (apex, base[1], base[2]),
+        (apex, base[2], base[3]),
+        (apex, base[3], base[0]),
+    ]
+    inside = np.ones(points.shape[0], dtype=bool)
+    for a, b, c in faces:
+        nrm = np.cross(b - a, c - a)
+        if np.dot(nrm, centroid - a) < 0:
+            nrm = -nrm
+        inside &= (points[:, :3] - a) @ nrm >= -1e-9
+    return inside
+
+
+def points_in_pyramids_mask(points, pyramids):
+    """(M, 3+C) x (K, 15)-or-(K, 5, 3) -> (M, K) bool."""
+    pyramids = pyramids.reshape(-1, 15)
+    flags = np.zeros((points.shape[0], pyramids.shape[0]), dtype=bool)
+    for i in range(pyramids.shape[0]):
+        flags[:, i] = _points_in_one_pyramid(points, pyramids[i])
+    return flags
+
+
+def local_pyramid_dropout(gt_boxes, points, dropout_prob, pyramids=None):
+    """Drop all points of one random face-pyramid per selected box."""
+    if pyramids is None:
+        pyramids = get_pyramids(gt_boxes).reshape(-1, 6, 5, 3)
+    n = pyramids.shape[0]
+    if n == 0:
+        return gt_boxes, points, pyramids
+    face = np.random.randint(0, 6, n)
+    sel = np.random.uniform(0, 1, n) <= dropout_prob
+    if sel.any():
+        drop = pyramids[sel, face[sel]]
+        hit = points_in_pyramids_mask(points, drop)
+        points = points[~hit.any(-1)]
+    return gt_boxes, points, pyramids[~sel]
+
+
+def local_pyramid_sparsify(gt_boxes, points, prob, max_num_pts, pyramids=None):
+    """Subsample one random face-pyramid per selected box down to max_num_pts."""
+    if pyramids is None:
+        pyramids = get_pyramids(gt_boxes).reshape(-1, 6, 5, 3)
+    n = pyramids.shape[0]
+    if n == 0:
+        return gt_boxes, points, pyramids
+    face = np.random.randint(0, 6, n)
+    sel = np.random.uniform(0, 1, n) <= prob
+    if sel.any():
+        cand = pyramids[sel, face[sel]]
+        masks = points_in_pyramids_mask(points, cand)
+        dense = masks.sum(0) > max_num_pts
+        masks = masks[:, dense]
+        if masks.shape[1] > 0:
+            keep = ~masks.any(-1)
+            kept_parts = [points[keep]]
+            for i in range(masks.shape[1]):
+                inpts = points[masks[:, i]]
+                idx = np.random.choice(inpts.shape[0], size=max_num_pts, replace=False)
+                kept_parts.append(inpts[idx])
+            points = np.concatenate(kept_parts, axis=0)
+    return gt_boxes, points, pyramids[~sel]
+
+
+def _pyramid_ratio_coords(points, pyr):
+    """(alpha, beta, gamma) coordinates of points in a (15,) pyramid frame:
+    base-parallelogram coefficients + apex-axis fraction."""
+    apex, b0, b1, _, b3 = pyr.reshape(5, 3)
+    scenter = pyr.reshape(5, 3)[1:].mean(axis=0)
+    v0, v1, v2 = b1 - b0, b3 - b0, apex - scenter
+    alpha = ((points[:, :3] - b0) * v0).sum(-1) / max((v0 ** 2).sum(), 1e-9)
+    beta = ((points[:, :3] - b0) * v1).sum(-1) / max((v1 ** 2).sum(), 1e-9)
+    gamma = ((points[:, :3] - scenter) * v2).sum(-1) / max((v2 ** 2).sum(), 1e-9)
+    return alpha, beta, gamma
+
+
+def _pyramid_points_from_ratio(ratios, pyr):
+    apex, b0, b1, _, b3 = pyr.reshape(5, 3)
+    scenter = pyr.reshape(5, 3)[1:].mean(axis=0)
+    v0, v1, v2 = b1 - b0, b3 - b0, apex - scenter
+    alpha, beta, gamma = ratios
+    return alpha[:, None] * v0 + beta[:, None] * v1 + b0 + gamma[:, None] * v2
+
+
+def local_pyramid_swap(gt_boxes, points, prob, max_num_pts, pyramids=None):
+    """Exchange the points of one face-pyramid per selected box with the
+    same-face pyramid of another (random) box, via ratio coordinates;
+    intensities rescaled to the destination pyramid's range."""
+    if pyramids is None:
+        pyramids = get_pyramids(gt_boxes).reshape(-1, 6, 5, 3)
+    n = pyramids.shape[0]
+    if n == 0:
+        return gt_boxes, points
+    sel_box = np.random.uniform(0, 1, n) <= prob
+    if not sel_box.any():
+        return gt_boxes, points
+    masks_all = points_in_pyramids_mask(points, pyramids)  # (M, n*6)
+    counts = masks_all.sum(0).reshape(n, 6)
+    rich = counts > max_num_pts
+
+    pairs = []  # (box_i, face, partner_box)
+    for i in np.nonzero(sel_box)[0]:
+        faces = np.nonzero(rich[i])[0]
+        if faces.size == 0:
+            continue
+        f = np.random.choice(faces)
+        partners = np.nonzero(rich[:, f] & (np.arange(n) != i))[0]
+        if partners.size == 0:
+            continue
+        pairs.append((i, f, np.random.choice(partners)))
+    if not pairs:
+        return gt_boxes, points
+
+    swap_masks = []
+    swap_specs = []
+    for i, f, j in pairs:
+        swap_masks.append(masks_all[:, i * 6 + f])
+        swap_masks.append(masks_all[:, j * 6 + f])
+        swap_specs.append((pyramids[i, f].reshape(15), pyramids[j, f].reshape(15)))
+    any_swapped = np.stack(swap_masks, axis=1).any(-1)
+    remain = points[~any_swapped]
+
+    moved = []
+    for k, (pyr_a, pyr_b) in enumerate(swap_specs):
+        pts_a = points[swap_masks[2 * k]]
+        pts_b = points[swap_masks[2 * k + 1]]
+        for src, dst_pyr, dst_ref in ((pts_b, pyr_a, pts_a), (pts_a, pyr_b, pts_b)):
+            if src.shape[0] == 0:
+                continue
+            src_pyr = pyr_b if dst_pyr is pyr_a else pyr_a
+            new_xyz = _pyramid_points_from_ratio(
+                _pyramid_ratio_coords(src, src_pyr), dst_pyr
+            )
+            out = src.copy()
+            out[:, :3] = new_xyz
+            if src.shape[1] > 3 and dst_ref.shape[0] > 0:
+                lo, hi = dst_ref[:, -1].min(), dst_ref[:, -1].max()
+                slo, shi = src[:, -1].min(), src[:, -1].max()
+                ratio = (src[:, -1] - slo) / max(shi - slo, 1e-6)
+                out[:, -1] = ratio * (hi - lo) + lo
+            moved.append(out)
+    if moved:
+        points = np.concatenate([remain] + moved, axis=0)
+    return gt_boxes, points

@@ -163,6 +163,46 @@ class DataAugmentor:
             data_dict["gt_boxes_mask"] = np.asarray(data_dict["gt_boxes_mask"])[box_keep]
         return data_dict
 
+    def random_local_translation(self, data_dict=None, config=None):
+        """Reference: data_augmentor.py:118-134 (per-axis per-box offsets)."""
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        offset_range = config.LOCAL_TRANSLATION_RANGE
+        replay = self._replay_param(data_dict, "random_local_translation")
+        used = {}
+        for ax in config["ALONG_AXIS_LIST"]:
+            fn = getattr(augmentor_utils, f"random_local_translation_along_{ax}")
+            gt_boxes, points, offs = fn(
+                data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
+                data_dict["points"], offset_range,
+                params=None if replay is None else replay[ax],
+            )
+            used[ax] = offs
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        self._record(data_dict, "random_local_translation", used)
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict=None, config=None):
+        """Face-pyramid dropout -> sparsify -> swap (reference
+        data_augmentor.py:205-226). Data-dependent point counts make this
+        non-replayable; CL pipelines keep it out of the replayed queue."""
+        if data_dict is None:
+            return partial(self.random_local_pyramid_aug, config=config)
+        gt_boxes = data_dict.get("gt_boxes", np.zeros((0, 7), np.float32))
+        points = data_dict["points"]
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_dropout(
+            gt_boxes, points, config["DROP_PROB"]
+        )
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_sparsify(
+            gt_boxes, points, config["SPARSIFY_PROB"], config["SPARSIFY_MAX_NUM"],
+            pyramids,
+        )
+        gt_boxes, points = augmentor_utils.local_pyramid_swap(
+            gt_boxes, points, config["SWAP_PROB"], config["SWAP_MAX_NUM"], pyramids
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
     # ---- driver ------------------------------------------------------------
     def forward(self, data_dict):
         for cur_augmentor in self.data_augmentor_queue:
