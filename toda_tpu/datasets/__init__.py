@@ -125,6 +125,10 @@ def build_dataset(dataset_cfg, class_names, training=True, root_path=None, logge
         from .kitti.kitti_dataset import KittiDataset as cls
     elif name == "WaymoDataset":
         from .waymo.waymo_dataset import WaymoDataset as cls
+    elif name == "LyftDataset":
+        from .lyft.lyft_dataset import LyftDataset as cls
+    elif name == "PandasetDataset":
+        from .pandaset.pandaset_dataset import PandasetDataset as cls
     elif name == "CutMixDataset":
         from .mix_dataset import CutMixDataset as cls
     elif name == "MixUpDataset":
