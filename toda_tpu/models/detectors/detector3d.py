@@ -98,7 +98,7 @@ class Detector3D(nn.Module):
         vfe_name = cfg.get("VFE", {}).get("NAME") if cfg.get("VFE") else None
         # pillar backbones and dynamic VFEs own their voxelization
         skip_voxelize = bb3d_name in POINT_CONSUMING or vfe_name in (
-            "DynamicMeanVFE", "DynamicPillarVFE"
+            "DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"
         )
         if "voxels" not in batch_dict and not skip_voxelize:
             batch_dict = self._voxelize(batch_dict)
@@ -111,7 +111,7 @@ class Detector3D(nn.Module):
                     voxel_size=self.meta.voxel_size,
                     point_cloud_range=self.meta.point_cloud_range,
                 )
-            elif vfe_name in ("DynamicMeanVFE", "DynamicPillarVFE"):
+            elif vfe_name in ("DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"):
                 kwargs.update(
                     voxel_size=self.meta.voxel_size,
                     point_cloud_range=self.meta.point_cloud_range,
@@ -542,6 +542,23 @@ class DetectorBundle:
         total, tb = self.head_loss(
             out, batch_dict["gt_boxes"], batch_dict.get("batch_size", batch_dict["points"].shape[0])
         )
+        if "depth_logits" in out and "depth_maps" in out:
+            # CaDDN depth distribution loss (ImageVFE; reference ddn_loss)
+            from ..backbones_3d.vfe.image_vfe import ddn_depth_loss
+
+            vfe_cfg = self.model_cfg.get("VFE", {})
+            disc = vfe_cfg.get("FFN", {}).get("DDN", {}).get(
+                "disc_cfg", vfe_cfg.get("DISC_CFG", {})
+            )
+            lcfg = vfe_cfg.get("LOSS", {}).get("ARGS", {})
+            d_loss = ddn_depth_loss(
+                out["depth_logits"], out["depth_maps"], disc,
+                weight=float(lcfg.get("weight", 3.0)),
+                alpha=float(lcfg.get("alpha", 0.25)),
+                gamma=float(lcfg.get("gamma", 2.0)),
+            )
+            total = total + d_loss
+            tb = dict(tb, depth_loss=d_loss)
         return total, (tb, new_state)
 
     def decode_topk(self, out, k=32):
