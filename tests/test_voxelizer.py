@@ -81,3 +81,50 @@ def test_dynamic_voxelize_consistent(rng):
     pvd = np.asarray(dyn["point_voxel_idx"])
     keep = (pvh >= 0) & (pvd >= 0)
     np.testing.assert_array_equal(pvh[keep], pvd[keep])
+
+
+def test_batched_voxelizer_packed_path_matches_plain():
+    """The packed-lane scatter path (segmented prefix + compaction + 2-way
+    bf16 packing) must reproduce the plain per-sample scatter means."""
+    import jax
+    import jax.numpy as jnp
+
+    from toda_tpu.ops import pillar_sparse as ps
+
+    rng = np.random.RandomState(0)
+    bt, n = 2, 1024
+    pts = rng.uniform(-7.5, 7.5, size=(bt, n, 4)).astype(np.float32)
+    mask = np.ones((bt, n), bool)
+    mask[:, 950:] = False
+    args = dict(
+        voxel_size=(0.5, 0.5, 1.0), pc_range=(-8, -8, -4, 8, 8, 4),
+        grid_size=(32, 32, 8), max_pillars=512, nz=8,
+    )
+
+    old = ps.USE_PACKED_VOXEL_SCATTER
+    try:
+        ps.USE_PACKED_VOXEL_SCATTER = False
+        ref = ps.voxelize_pillars_batched(jnp.asarray(pts), jnp.asarray(mask), **args)
+        ps.USE_PACKED_VOXEL_SCATTER = True
+        got = ps.voxelize_pillars_batched(jnp.asarray(pts), jnp.asarray(mask), **args)
+    finally:
+        ps.USE_PACKED_VOXEL_SCATTER = old
+
+    np.testing.assert_array_equal(
+        np.asarray(ref["pillar_mask"]), np.asarray(got["pillar_mask"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["cell_counts"]), np.asarray(got["cell_counts"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["pillar_features"]), np.asarray(ref["pillar_features"]),
+        rtol=5e-4, atol=5e-4,  # 2-way bf16 split: ~2^-16 relative on sums
+    )
+    # batched no-pack path must equal the original per-sample voxelizer
+    one = ps.voxelize_pillars(
+        jnp.asarray(pts[0]), jnp.asarray(mask[0]), **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["pillar_features"][0]), np.asarray(one["pillar_features"]),
+        rtol=1e-6,
+    )

@@ -33,6 +33,7 @@ from ...ops.pillar_sparse import (
     pillar_conv3d_t,
     pillars_to_dense,
     voxelize_pillars,
+    voxelize_pillars_batched,
 )
 from ..model_utils.masked_norm import MaskedBatchNorm
 
@@ -241,12 +242,11 @@ class _PillarBackboneBase(nn.Module):
             else [p0, p0 // 2, p0 // 4, p0 // 8]
         )
 
-        vox = jax.vmap(
-            lambda p, m: voxelize_pillars(
-                p, m, self.voxel_size, self.point_cloud_range,
-                grid_size=(nx, ny, nz), max_pillars=caps[0], nz=nz,
-            )
-        )(batch_dict["points"], batch_dict["points_mask"])
+        vox = voxelize_pillars_batched(
+            batch_dict["points"], batch_dict["points_mask"],
+            self.voxel_size, self.point_cloud_range,
+            grid_size=(nx, ny, nz), max_pillars=caps[0], nz=nz,
+        )
         x = vox["pillar_features"]  # (Bt, P, nz, C)
         if self.model_cfg.get("BF16", True):
             # bf16 activations halve gather/GEMM bytes; norms accumulate in f32

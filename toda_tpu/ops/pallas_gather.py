@@ -685,31 +685,34 @@ def _scatter_kernel(c_ref, t_ref, g_hbm, out_ref, win, sem):
             out_ref[:] = dot(win[b_])
 
 
-def _pallas_scatter(g, tgt_win, c, n):
+def _pallas_scatter(g, tgt_win, c, n, out_dtype=None, span=None):
     m, w = g.shape
     nblk = n // BLOCK
+    out_dtype = out_dtype or g.dtype
+    span = span or SPAN
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, SPAN, 1), lambda k, c: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span, 1), lambda k, c: (k, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLOCK, w), lambda k, c: (k, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, SPAN, w), g.dtype),
+            pltpu.VMEM((NBUF, span, w), g.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     return pl.pallas_call(
         _scatter_kernel,
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((n, w), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, w), out_dtype),
         interpret=INTERPRET,
     )(c, tgt_win, g)
 
 
-def _scatter_prologue(idx, n, m):
+def _scatter_prologue(idx, n, m, span=None):
+    span = span or SPAN
     nblk = n // BLOCK
     valid = idx >= 0
     idxm = jax.lax.cummax(jnp.where(valid, idx, -1), axis=0)
@@ -720,26 +723,34 @@ def _scatter_prologue(idx, n, m):
     a = jnp.searchsorted(idxm, tile_starts, side="left").astype(jnp.int32)
     b = jnp.searchsorted(idxm, tile_starts + BLOCK, side="left").astype(jnp.int32)
     c = (a // 8) * 8
-    c = jnp.minimum(c, ((m - SPAN) // 8) * 8)
+    c = jnp.minimum(c, ((m - span) // 8) * 8)
     c = jnp.maximum(c, 0).astype(jnp.int32)
-    overflow = nonmono | jnp.any(b - c > SPAN)
+    overflow = nonmono | jnp.any(b - c > span)
     # per-tile index windows, built host-side from contiguous slices (cheap —
-    # nblk slice-DMAs, not m row-gathers); (nblk, SPAN, 1) for blocked VMEM
-    tgt_win = jax.vmap(lambda ck: jax.lax.dynamic_slice(idx, (ck,), (SPAN,)))(c)
-    return c, tgt_win.astype(jnp.int32).reshape(nblk, SPAN, 1), overflow
+    # nblk slice-DMAs, not m row-gathers); (nblk, span, 1) for blocked VMEM
+    tgt_win = jax.vmap(lambda ck: jax.lax.dynamic_slice(idx, (ck,), (span,)))(c)
+    return c, tgt_win.astype(jnp.int32).reshape(nblk, span, 1), overflow
 
 
-def _core_scatter(g, idx, n):
+def _core_scatter(g, idx, n, out_dtype=None, span=None):
     """g (M, W), idx (M,) int32 in [-1, N); requires valid idx nondecreasing
-    for the fast path (checked at runtime; falls back otherwise)."""
+    for the fast path (checked at runtime; falls back otherwise).
+    out_dtype (default g.dtype) selects the accumulator-output dtype —
+    f32 output keeps the kernel's f32 accumulation exact for bf16 inputs."""
     m, w = g.shape
-    if not _pallas_ok(g.dtype, n, m, w) or m < SPAN or m % 8 != 0 or n % BLOCK != 0:
-        return _xla_scatter_add(g, idx, n)
-    c, tgt_win, overflow = _scatter_prologue(idx, n, m)
+    span = span or SPAN
+    out_dtype = out_dtype or g.dtype
+
+    def fallback():
+        return _xla_scatter_add(g.astype(out_dtype), idx, n)
+
+    if not _pallas_ok(g.dtype, n, m, w) or m < span or m % 8 != 0 or n % BLOCK != 0:
+        return fallback()
+    c, tgt_win, overflow = _scatter_prologue(idx, n, m, span)
     return jax.lax.cond(
         overflow,
-        lambda: _xla_scatter_add(g, idx, n),
-        lambda: _pallas_scatter(g, tgt_win, c, n),
+        fallback,
+        lambda: _pallas_scatter(g, tgt_win, c, n, out_dtype, span),
     )
 
 
@@ -787,13 +798,14 @@ def gather_rows(table, idx):
     return out.reshape(bt, m, w)
 
 
-def scatter_rows_add(g, idx, n):
+def scatter_rows_add(g, idx, n, out_dtype=None, span=None):
     """Transpose of gather_rows: sum rows of g into an (N, W) table by idx
-    (-1 rows dropped). Batched like gather_rows."""
+    (-1 rows dropped). Batched like gather_rows. out_dtype=f32 keeps the
+    kernel's f32 accumulation for bf16 inputs."""
     if g.ndim == 2:
-        return _core_scatter(g, idx, n)
+        return _core_scatter(g, idx, n, out_dtype, span)
     bt, m, w = g.shape
     offs = (jnp.arange(bt, dtype=jnp.int32) * n)[:, None]
     idx2 = jnp.where(idx >= 0, idx + offs, -1).reshape(bt * m)
-    out = _core_scatter(g.reshape(bt * m, w), idx2, bt * n)
+    out = _core_scatter(g.reshape(bt * m, w), idx2, bt * n, out_dtype, span)
     return out.reshape(bt, n, w)

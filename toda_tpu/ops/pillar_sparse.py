@@ -117,6 +117,170 @@ def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_p
     }
 
 
+# Packed-lane pallas scatter for the voxelizer means: True on TPU (set by
+# voxelize_pillars_batched's caller gate), forceable in tests.
+USE_PACKED_VOXEL_SCATTER = None  # None = auto (TPU only)
+
+
+def _voxelize_cells(points, points_mask, voxel_size, pc_range, grid_size,
+                    max_pillars, nz):
+    """Per-sample sort + cell assignment (the front half of voxelize_pillars).
+
+    Returns dict with spoints (Np, c) sorted, cell (Np,) ascending (sentinel
+    = max_pillars*nz for dropped), ok, and the pillar coords/mask."""
+    gx, gy, gz = grid_size
+    p_pts, c = points.shape
+    vsize = jnp.asarray(voxel_size, dtype=points.dtype)
+    origin = jnp.asarray(pc_range[:3], dtype=points.dtype)
+    ijk = jnp.floor((points[:, :3] - origin) / vsize).astype(jnp.int32)
+    valid = (
+        points_mask
+        & (ijk[:, 0] >= 0) & (ijk[:, 0] < gx)
+        & (ijk[:, 1] >= 0) & (ijk[:, 1] < gy)
+        & (ijk[:, 2] >= 0) & (ijk[:, 2] < gz)
+    )
+    bev_key = ijk[:, 1] * gx + ijk[:, 0]
+    packed = jnp.where(valid, bev_key * gz + ijk[:, 2], INT_MAX)
+    cols = [points[:, j] for j in range(c)]
+    sorted_ops = jax.lax.sort([packed, *cols], num_keys=1, is_stable=True)
+    spacked = sorted_ops[0]
+    svalid = spacked != INT_MAX
+    skey = jnp.where(svalid, spacked // gz, INT_MAX)
+    sz = jnp.where(svalid, spacked % gz, 0)
+    spoints = jnp.stack(sorted_ops[1:], axis=-1)
+
+    prev = jnp.concatenate([jnp.array([-1], dtype=skey.dtype), skey[:-1]])
+    head = (skey != prev) & svalid
+    pillar_idx = jnp.cumsum(head.astype(jnp.int32)) - 1
+    ok = svalid & (pillar_idx < max_pillars)
+    cell = jnp.where(ok, pillar_idx * nz + sz, max_pillars * nz)
+
+    rows = jnp.where(head & (pillar_idx < max_pillars), pillar_idx, max_pillars)
+    key_of = jnp.full((max_pillars,), -1, jnp.int32).at[rows].set(skey, mode="drop")
+    pillar_mask = key_of >= 0
+    safe = jnp.where(pillar_mask, key_of, 0)
+    coords = jnp.where(
+        pillar_mask[:, None], jnp.stack([safe // gx, safe % gx], axis=-1), -1
+    ).astype(jnp.int32)
+    return {
+        "spoints": spoints, "cell": cell, "ok": ok,
+        "pillar_coords": coords, "pillar_mask": pillar_mask,
+    }
+
+
+def _bf16_split2(x):
+    """f32 -> (hi, lo) bf16 with x ~= hi + lo (16-bit mantissa; exact for
+    ints < 2^16 — counts — and <1 mm relative error for coordinate sums)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def voxelize_pillars_batched(points, points_mask, voxel_size, pc_range,
+                             grid_size, max_pillars, nz):
+    """Batched voxelize_pillars with a packed-lane pallas scatter for the
+    per-cell sums (the .at[cell].add scatter is latency-bound at ~10 ns per
+    update row — measured ~21 ms/step at nuScenes scale).
+
+    Pipeline on the sorted per-sample streams:
+      1. segmented Hillis-Steele prefix over runs of equal cell id (log2(Np)
+         shift-compare-add passes) -> run totals at each run's LAST row;
+      2. ONE compaction sort moves run-lasts to the front in cell order
+         (<= 1 contribution per cell, so the span-scatter windows are
+         bounded by construction — no overflow fallback on dense scenes);
+      3. contributions packed 8 cells/row x 16 lanes as 2-way bf16 splits
+         (exact for counts, ~2^-16 relative for coordinate sums), scattered
+         by ops.pallas_gather.scatter_rows_add with f32 accumulation.
+    """
+    bt, p_pts, c = points.shape
+    gz = grid_size[2]
+    parts = jax.vmap(
+        lambda p, m: _voxelize_cells(
+            p, m, voxel_size, pc_range, grid_size, max_pillars, nz
+        )
+    )(points, points_mask)
+    spoints, cell, ok = parts["spoints"], parts["cell"], parts["ok"]
+    ncell = max_pillars * nz
+
+    use_packed = USE_PACKED_VOXEL_SCATTER
+    if use_packed is None:
+        use_packed = (
+            jax.default_backend() not in ("cpu",)
+            and c <= 5
+            and p_pts % 128 == 0
+            and (ncell // 8) % 128 == 0
+            and ncell % 8 == 0
+        )
+    if not use_packed:
+        def mean_one(sp, cl, okk):
+            feat_sum = (
+                jnp.zeros((ncell, c), dtype=points.dtype).at[cl].add(
+                    jnp.where(okk[:, None], sp, 0.0), mode="drop")
+            )
+            counts = jnp.zeros((ncell,), jnp.int32).at[cl].add(
+                okk.astype(jnp.int32), mode="drop")
+            return feat_sum, counts
+
+        feat_sum, counts = jax.vmap(mean_one)(spoints, cell, ok)
+    else:
+        # 1) segmented prefix: payload = [features..., 1]
+        pay = jnp.concatenate(
+            [jnp.where(ok[..., None], spoints, 0.0),
+             ok[..., None].astype(points.dtype)], axis=-1
+        )  # (bt, Np, c+1)
+        cl = jnp.where(ok, cell, -1)
+        d = 1
+        while d < p_pts:
+            same = cl[:, d:] == cl[:, :-d]
+            pay = jnp.concatenate(
+                [pay[:, :d],
+                 pay[:, d:] + jnp.where(same[..., None], pay[:, :-d], 0.0)],
+                axis=1,
+            )
+            d *= 2
+        is_last = jnp.concatenate(
+            [cl[:, :-1] != cl[:, 1:], jnp.ones((bt, 1), bool)], axis=1
+        ) & ok
+
+        # 2) compaction sort: run-lasts to the front in cell order
+        key2 = jnp.where(is_last, cl, INT_MAX)
+        ops = [key2] + [pay[..., k] for k in range(c + 1)]
+        sorted2 = jax.vmap(lambda *a: jax.lax.sort(list(a), num_keys=1))(*ops)
+        ckey = sorted2[0]
+        cpay = jnp.stack(sorted2[1:], axis=-1)  # (bt, Np, c+1) run totals
+        cvalid = ckey != INT_MAX
+
+        # 3) pack 8 cells/row x 16 lanes (2-way bf16 splits of c+1 <= 6 cols)
+        tmpl = jnp.zeros((bt, p_pts, 16), jnp.bfloat16)
+        for k in range(c + 1):
+            hi, lo = _bf16_split2(cpay[..., k])
+            tmpl = tmpl.at[..., 2 * k].set(hi).at[..., 2 * k + 1].set(lo)
+        lane_grp = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) // 16
+        exp = jnp.where(
+            (lane_grp == (ckey % 8)[..., None]) & cvalid[..., None],
+            jnp.tile(tmpl, (1, 1, 8)),
+            jnp.bfloat16(0),
+        )
+        rowid = jnp.where(cvalid, ckey // 8, -1)
+        from .pallas_gather import scatter_rows_add
+
+        out = scatter_rows_add(
+            exp, rowid, ncell // 8, out_dtype=jnp.float32, span=640
+        )  # (bt, ncell/8, 128)
+        out = out.reshape(bt, ncell, 16)
+        sums = out[..., 0::2] + out[..., 1::2]  # (bt, ncell, 8)
+        feat_sum = sums[..., :c]
+        counts = jnp.round(sums[..., c]).astype(jnp.int32)
+
+    feats = feat_sum / jnp.maximum(counts, 1)[..., None].astype(points.dtype)
+    return {
+        "pillar_features": feats.reshape(bt, max_pillars, nz, c),
+        "pillar_coords": parts["pillar_coords"],
+        "pillar_mask": parts["pillar_mask"],
+        "cell_counts": counts.reshape(bt, max_pillars, nz),
+    }
+
+
 @partial(jax.jit, static_argnames=("bev_shape",))
 def build_bev_map(coords, mask, bev_shape):
     """(P, 2) (y, x) -> dense (ny, nx) int32 slot map, -1 empty. 4 MB at 1024^2."""
