@@ -71,11 +71,25 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis_name="dp"):
-    """Place batch arrays with leading-dim sharding over the dp axis."""
+    """Form the global sharded batch from this process's host-local arrays.
+
+    Single-process: a plain device_put with leading-dim sharding (the argument
+    IS the global batch). Multi-process: each process's loader holds only its
+    shard (datasets/__init__.py idx[rank::world]), so the global array must be
+    assembled with jax.make_array_from_process_local_data — device_put against
+    a global mesh would mis-read the local shard as the full global value
+    (SURVEY.md §2.0 "TPU-native equivalent"; the analog of DistributedSampler
+    feeding DDP, reference tools/train.py:70-74).
+    """
     sh = batch_sharding(mesh, axis_name)
+    nproc = jax.process_count()
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if nproc > 1:
+                local = np.asarray(x)
+                global_shape = (local.shape[0] * nproc,) + local.shape[1:]
+                return jax.make_array_from_process_local_data(sh, local, global_shape)
             return jax.device_put(x, sh)
         return x
 

@@ -22,12 +22,17 @@ def _ckpt_path(ckpt_dir, epoch):
 
 
 def save_checkpoint(ckpt_dir, state, epoch, max_keep=30):
+    """Write `checkpoint_epoch_{epoch}`. In multi-process runs EVERY process must
+    call this (orbax's save is a cross-host collective; only the primary host
+    writes array data) — the analog of reference rank-0 checkpoint_state
+    (train_utils.py:127-139) is the primary-host write, not a rank-0-only call."""
     ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
-    # prune oldest beyond max_keep (reference train_utils.py:129-134)
-    existing = scan_dir_for_ckpts(ckpt_dir)
-    for stale in existing[: max(0, len(existing) - max_keep + 1)]:
-        shutil.rmtree(stale, ignore_errors=True)
+    if jax.process_index() == 0:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        # prune oldest beyond max_keep (reference train_utils.py:129-134)
+        existing = scan_dir_for_ckpts(ckpt_dir)
+        for stale in existing[: max(0, len(existing) - max_keep + 1)]:
+            shutil.rmtree(stale, ignore_errors=True)
 
     payload = {
         "params": jax.device_get(state.params),

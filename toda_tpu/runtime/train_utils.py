@@ -143,9 +143,9 @@ def train_model(
             if tb_log is not None:
                 tb_log.add_scalar("train/loss", float(tb["loss"]), accumulated_iter)
 
-        if (cur_epoch % ckpt_save_interval == 0 or cur_epoch == total_epochs - 1) and (
-            jax.process_index() == 0
-        ):
+        if cur_epoch % ckpt_save_interval == 0 or cur_epoch == total_epochs - 1:
+            # collective: every process must call (orbax syncs across hosts and
+            # writes from the primary) — a rank-0-only call deadlocks multi-host
             ckpt_lib.save_checkpoint(
                 ckpt_save_dir, state, epoch=cur_epoch + 1, max_keep=max_ckpt_save_num
             )
