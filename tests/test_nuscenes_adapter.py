@@ -126,8 +126,11 @@ def test_native_eval_perfect_predictions(fake_nuscenes):
     ]
     result_str, result = nuscenes_eval(det_annos, gt_annos, ["car", "pedestrian"])
     assert result["mAP"] > 0.95
-    assert result["NDS"] > 0.95
+    # 7-col boxes without attributes: AVE/AAE fall back to err=1 (documented
+    # lidar-only convention) -> NDS = (5*mAP + 3)/10 = 0.8 at perfect ATE/ASE/AOE
+    assert abs(result["NDS"] - 0.8) < 0.02
     assert result["mTRANS_ERR"] < 1e-3
+    assert result["mVEL_ERR"] == 1.0 and result["mATTR_ERR"] == 1.0
 
 
 def test_native_eval_shifted_predictions(fake_nuscenes):
@@ -143,6 +146,89 @@ def test_native_eval_shifted_predictions(fake_nuscenes):
     assert result["AP_car@0.5"] < 0.05
     assert result["AP_car@4.0"] > 0.95
     assert 0.3 < result["mAP"] < 0.7
+
+
+def test_official_nds_formula_hand_computed():
+    """Pins the devkit NDS formula end-to-end on a hand-computable case
+    (VERDICT r2 missing #2): 9-col boxes with velocity + attribute arrays.
+
+    Construction: 2 far-apart car GTs per frame; dets offset by exactly
+    1.2 m in x (match at the 2 m and 4 m thresholds only), sizes scaled by
+    s = 0.5 in every dim (ASE = 1 - s^3 = 0.875), yaw off by pi/2
+    (AOE = pi/2, clipped to 1 in the score), velocity off by (0.5, 0)
+    (AVE = 0.5), and a wrong attribute (AAE = 1).
+
+      mAP = (0 + 0 + 1 + 1) / 4 = 0.5
+      NDS = (5*0.5 + (1-min(1,1.2)) + (1-0.875) + (1-min(1,pi/2))
+             + (1-0.5) + (1-1)) / 10
+          = (2.5 + 0 + 0.125 + 0 + 0.5 + 0) / 10 = 0.3125
+    """
+    gt = np.zeros((2, 9), np.float64)
+    gt[0, :3] = [0.0, 0.0, 0.0]
+    gt[1, :3] = [20.0, 0.0, 0.0]
+    gt[:, 3:6] = [4.0, 2.0, 1.6]
+    gt[:, 6] = 0.0
+    gt[:, 7:9] = [1.0, 0.0]
+    det = gt.copy()
+    det[:, 0] += 1.2
+    det[:, 3:6] *= 0.5
+    det[:, 6] = np.pi / 2
+    det[:, 7] += 0.5
+    gt_annos = [{
+        "boxes_lidar": gt, "name": np.array(["car", "car"]),
+        "attribute": np.array(["vehicle.moving", "vehicle.moving"]),
+    }]
+    det_annos = [{
+        "boxes_lidar": det, "name": np.array(["car", "car"]),
+        "score": np.array([1.0, 0.9]),
+        "attribute": np.array(["vehicle.parked", "vehicle.parked"]),
+    }]
+    _, result = nuscenes_eval(det_annos, gt_annos, ["car"])
+    assert abs(result["mAP"] - 0.5) < 1e-6
+    assert abs(result["mTRANS_ERR"] - 1.2) < 1e-6
+    assert abs(result["mSCALE_ERR"] - 0.875) < 1e-6
+    assert abs(result["mORIENT_ERR"] - np.pi / 2) < 1e-6
+    assert abs(result["mVEL_ERR"] - 0.5) < 1e-6
+    assert abs(result["mATTR_ERR"] - 1.0) < 1e-6
+    assert abs(result["NDS"] - 0.3125) < 1e-6
+
+
+def test_official_nds_perfect_with_velocity_and_attributes():
+    """Perfect 9-col predictions with matching attributes -> NDS == 1.0."""
+    gt = np.zeros((2, 9), np.float64)
+    gt[1, 0] = 15.0
+    gt[:, 3:6] = [4.0, 2.0, 1.6]
+    gt[:, 7:9] = [2.0, 1.0]
+    annos_gt = [{
+        "boxes_lidar": gt, "name": np.array(["car", "car"]),
+        "attribute": np.array(["vehicle.moving", "vehicle.moving"]),
+    }]
+    annos_det = [{
+        "boxes_lidar": gt.copy(), "name": np.array(["car", "car"]),
+        "score": np.array([0.9, 0.8]),
+        "attribute": np.array(["vehicle.moving", "vehicle.moving"]),
+    }]
+    _, result = nuscenes_eval(annos_det, annos_gt, ["car"])
+    assert abs(result["mAP"] - 1.0) < 1e-6
+    assert abs(result["NDS"] - 1.0) < 1e-6
+
+
+def test_nds_class_exclusions():
+    """Devkit exclusions: traffic_cone contributes no AOE/AVE/AAE to the means."""
+    gt = np.zeros((1, 9), np.float64)
+    gt[:, 3:6] = [0.4, 0.4, 0.8]
+    annos_gt = [{"boxes_lidar": gt, "name": np.array(["traffic_cone"]),
+                 "attribute": np.array([""])}]
+    det = gt.copy()
+    det[:, 6] = np.pi  # orientation totally wrong — must NOT hurt the cone
+    annos_det = [{"boxes_lidar": det, "name": np.array(["traffic_cone"]),
+                  "score": np.array([0.9]), "attribute": np.array([""])}]
+    _, result = nuscenes_eval(annos_det, annos_gt, ["traffic_cone"])
+    assert abs(result["mAP"] - 1.0) < 1e-6
+    # all-excluded metrics fall back to err=1 -> contribute 0 to NDS
+    assert result["mORIENT_ERR"] == 1.0 and result["mVEL_ERR"] == 1.0
+    # NDS = (5*1 + (1-0) + (1-0) + 0 + 0 + 0) / 10 = 0.7
+    assert abs(result["NDS"] - 0.7) < 1e-6
 
 
 def test_devkit_free_info_generation(tmp_path):

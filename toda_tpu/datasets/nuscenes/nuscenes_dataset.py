@@ -133,19 +133,66 @@ class NuScenesDataset(DatasetTemplate):
             }
         )
 
+    # most-frequent attribute per class on the nuScenes train split — the
+    # reference's fallback when the velocity heuristic is inconclusive
+    # (pcdet nuscenes_utils.py cls_attr_dist argmax, :43-120)
+    DEFAULT_ATTRIBUTE = {
+        "car": "vehicle.parked", "truck": "vehicle.parked",
+        "construction_vehicle": "vehicle.parked", "trailer": "vehicle.parked",
+        "bus": "vehicle.moving", "bicycle": "cycle.without_rider",
+        "motorcycle": "cycle.without_rider", "pedestrian": "pedestrian.moving",
+        "barrier": "", "traffic_cone": "",
+    }
+
+    @classmethod
+    def assign_det_attributes(cls, anno):
+        """Velocity-heuristic attribute assignment for the official AAE metric
+        (reference nuscenes_utils.transform_det_annos_to_nusc_annos:436-453)."""
+        boxes = np.asarray(anno["boxes_lidar"])
+        names = np.asarray(anno["name"])
+        attrs = []
+        for i, name in enumerate(names):
+            speed = (
+                float(np.linalg.norm(boxes[i, 7:9])) if boxes.shape[-1] >= 9 else 0.0
+            )
+            if speed > 0.2:
+                if name in ("car", "construction_vehicle", "bus", "truck", "trailer"):
+                    attr = "vehicle.moving"
+                elif name in ("bicycle", "motorcycle"):
+                    attr = "cycle.with_rider"
+                else:
+                    attr = None
+            else:
+                if name == "pedestrian":
+                    attr = "pedestrian.standing"
+                elif name == "bus":
+                    attr = "vehicle.stopped"
+                else:
+                    attr = None
+            attrs.append(attr if attr is not None else cls.DEFAULT_ATTRIBUTE.get(name, ""))
+        return np.asarray(attrs)
+
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Native nuScenes-protocol mAP/NDS (reference defers to the devkit)."""
+        """Native nuScenes-protocol mAP/NDS — full official formula incl. AVE
+        (velocity box columns 7:9) and AAE (velocity-heuristic det attributes vs
+        stored GT attributes). Reference defers to the devkit
+        (nuscenes_dataset.py:314-368)."""
         from ...utils.nuscenes_eval_native import nuscenes_eval
 
+        det_annos = [dict(a) for a in det_annos]
+        for anno in det_annos:
+            if "attribute" not in anno and "attribute_name" not in anno:
+                anno["attribute"] = self.assign_det_attributes(anno)
         gt_annos = []
         for info in self.infos:
             boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), dtype=np.float32)
             if self.shift_coor and len(boxes):
                 boxes = boxes.copy()
                 boxes[:, :3] += np.asarray(self.shift_coor, dtype=np.float32)
-            gt_annos.append(
-                {"boxes_lidar": boxes, "name": np.asarray(info.get("gt_names", []))}
-            )
+            gt = {"boxes_lidar": boxes, "name": np.asarray(info.get("gt_names", []))}
+            if "gt_attributes" in info:
+                gt["attribute"] = np.asarray(info["gt_attributes"])
+            gt_annos.append(gt)
         return nuscenes_eval(det_annos, gt_annos, class_names)
 
     # ---- info / database generation -----------------------------------------

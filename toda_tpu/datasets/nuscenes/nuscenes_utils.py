@@ -81,14 +81,20 @@ class NuScenesTables:
         "scene", "sample", "sample_data", "ego_pose", "calibrated_sensor",
         "sensor", "sample_annotation", "instance", "category",
     )
+    OPTIONAL_TABLES = ("attribute",)  # needed only for the AAE metric
 
     def __init__(self, data_path, version):
         base = Path(data_path) / version
         self.by_token = {}
         self.rows = {}
-        for name in self.TABLES:
-            with open(base / f"{name}.json") as f:
-                rows = json.load(f)
+        for name in self.TABLES + self.OPTIONAL_TABLES:
+            try:
+                with open(base / f"{name}.json") as f:
+                    rows = json.load(f)
+            except FileNotFoundError:
+                if name not in self.OPTIONAL_TABLES:
+                    raise
+                rows = []
             self.rows[name] = rows
             self.by_token[name] = {r["token"]: r for r in rows}
         # reverse index: sample token -> keyframe LIDAR_TOP sample_data
@@ -172,7 +178,8 @@ def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
                 }
             )
 
-        boxes, names, velocities, num_pts = [], [], [], []
+        boxes, names, velocities, num_pts, attrs = [], [], [], [], []
+        attr_table = t.by_token.get("attribute", {})
         for ann in t.anns_of.get(sample["token"], []):
             general = t.by_token["category"].get(
                 ann.get("category_token", ""), {}
@@ -186,6 +193,10 @@ def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
             boxes.append([*center[:3], l, w, h, rot_yaw(rot)])
             names.append(det_name)
             num_pts.append(ann.get("num_lidar_pts", -1))
+            # attribute name for the official AAE metric (devkit: one attribute
+            # token per annotation, or none)
+            toks = ann.get("attribute_tokens", [])
+            attrs.append(attr_table.get(toks[0], {}).get("name", "") if toks else "")
             if with_velocity:
                 v = t.box_velocity(ann)
                 v = ref_rot @ np.nan_to_num(v)
@@ -202,6 +213,7 @@ def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
             "sweeps": sweeps,
             "gt_boxes": gt_boxes,
             "gt_names": np.asarray(names),
+            "gt_attributes": np.asarray(attrs),
             "num_lidar_pts": np.asarray(num_pts, dtype=np.int32),
         }
         if scene_name in split_scenes["train"]:
