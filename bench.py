@@ -51,21 +51,30 @@ def build_bench(batch_size=4):
     # synthetic background would inflate this, so cap at a realistic 32k
     cfg.MODEL.BACKBONE_3D.MAX_PILLARS = 32768
 
+    # several distinct pre-built batches cycled through the timing loop so the
+    # voxelizer/sort paths see varied occupancy patterns, not one fixed input
+    n_batches = 4
+    cfg.DATA_CONFIG.NUM_SCENES = batch_size * n_batches
+
     np.random.seed(0)
     dataset, loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True
     )
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
-    batch = next(iter(loader))
-    arrays = {
-        "points": jnp.asarray(batch["points"]),
-        "points_mask": jnp.asarray(batch["points_mask"]),
-        "gt_boxes": jnp.asarray(batch["gt_boxes"]),
-    }
+    loader.shuffle = False
+    batches = []
+    for batch in loader:
+        batches.append({
+            "points": jnp.asarray(batch["points"]),
+            "points_mask": jnp.asarray(batch["points_mask"]),
+            "gt_boxes": jnp.asarray(batch["gt_boxes"]),
+        })
+        if len(batches) == n_batches:
+            break
     state, _ = create_train_state(bundle, cfg.OPTIMIZATION, total_steps=100,
                                   example_batch=batch)
     step = make_train_step(bundle)
-    return step, state, arrays, batch_size
+    return step, state, batches, batch_size
 
 
 def main():
@@ -74,16 +83,16 @@ def main():
     # measured per-chip optimum: bs4 = 18.6, bs8 = 19.4 scans/s (the span
     # kernels amortize per-call overheads at bs8); bs16 exceeds HBM
     batch_size = 8
-    step, state, arrays, batch_size = build_bench(batch_size)
+    step, state, batches, batch_size = build_bench(batch_size)
 
     # warmup / compile
-    state, tb = step(state, arrays)
+    state, tb = step(state, batches[0])
     jax.block_until_ready(tb["loss"])
 
     iters = 20
     t0 = time.time()
-    for _ in range(iters):
-        state, tb = step(state, arrays)
+    for i in range(iters):
+        state, tb = step(state, batches[i % len(batches)])
     jax.block_until_ready(tb["loss"])
     dt = time.time() - t0
     scans_per_sec = iters * batch_size / dt

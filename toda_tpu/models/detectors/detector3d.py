@@ -650,7 +650,15 @@ class DetectorBundle:
                 "pred_mask": mask,
             }
 
-        return jax.vmap(one)(box_preds, scores, labels)
+        dets = jax.vmap(one)(box_preds, scores, labels)
+        if "rois" in out:
+            # expose first-stage proposals so eval can track recall_roi_* next
+            # to final-box recall (reference detector3d_template.py:286-328)
+            dets["rois"] = out["rois"]
+            dets["roi_mask"] = out.get(
+                "roi_mask", jnp.ones(out["rois"].shape[:2], out["rois"].dtype)
+            )
+        return dets
 
     def _center_head_helper(self):
         """A detached CenterHead: target assignment and decode are pure functions

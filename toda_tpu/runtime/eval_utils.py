@@ -19,6 +19,35 @@ import numpy as np
 from ..utils import box_utils, commu_utils
 
 
+def evaluate_target_domain(cfg, state, batch_size, logger=None, result_dir=None,
+                           dist=False):
+    """Post-training eval on the target domain (reference stage CLIs evaluate
+    DATA_CONFIG_TEST after stage training, stage1_cutmix_train.py:186-200).
+
+    Builds a fresh dataset/bundle over DATA_CONFIG_TEST (falling back to
+    DATA_CONFIG) — the stage-1/2 train bundle is assembled over the MIX
+    dataset, whose grid metadata is not the eval domain's — and reuses the
+    trained params/batch_stats."""
+    from ..datasets import build_dataloader
+    from ..models import build_network
+
+    eval_cfg = cfg.get("DATA_CONFIG_TEST", cfg.DATA_CONFIG)
+    class_names = cfg.CLASS_NAMES
+    ds, loader, _ = build_dataloader(
+        eval_cfg, class_names, batch_size=batch_size, dist=dist, training=False,
+        logger=logger,
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(class_names), dataset=ds)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    result, annos = eval_one_epoch(
+        bundle, variables, loader, ds, class_names, logger=logger,
+        result_dir=result_dir,
+    )
+    if logger:
+        logger.info("target-domain eval result: %s", result)
+    return result, annos
+
+
 def make_predict_step(bundle):
     def predict_step(variables, batch):
         batch = dict(batch)
@@ -28,21 +57,30 @@ def make_predict_step(bundle):
     return jax.jit(predict_step)
 
 
-def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list):
-    """Per-frame recall counters (host). gt_boxes (M, 8) padded."""
+def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list,
+                   rois=None, roi_mask=None):
+    """Per-frame recall counters (host). gt_boxes (M, 8) padded. When rois are
+    given, also counts proposal recall (reference generate_recall_record's
+    recall_roi_* bookkeeping, detector3d_template.py:286-328)."""
     gt_valid = gt_boxes[:, -1] > 0  # class id is the LAST column
     gts = gt_boxes[gt_valid][:, :7]
     out = {f"recall_{t}": 0 for t in thresh_list}
+    if rois is not None:
+        out.update({f"recall_roi_{t}": 0 for t in thresh_list})
     out["gt"] = len(gts)
     if len(gts) == 0:
         return out
     preds = pred_boxes[pred_mask.astype(bool)][:, :7]
-    if len(preds) == 0:
-        return out
-    iou = box_utils.boxes_bev_iou_cpu(gts, preds)
-    best = iou.max(axis=1)
-    for t in thresh_list:
-        out[f"recall_{t}"] = int((best > t).sum())
+    if len(preds):
+        best = box_utils.boxes_bev_iou_cpu(gts, preds).max(axis=1)
+        for t in thresh_list:
+            out[f"recall_{t}"] = int((best > t).sum())
+    if rois is not None:
+        rois = rois[roi_mask.astype(bool)][:, :7] if roi_mask is not None else rois[:, :7]
+        if len(rois):
+            best = box_utils.boxes_bev_iou_cpu(gts, rois).max(axis=1)
+            for t in thresh_list:
+                out[f"recall_roi_{t}"] = int((best > t).sum())
     return out
 
 
@@ -52,7 +90,9 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
     thresh_list = bundle.post_cfg.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])
     det_annos = []
     recall = {f"recall_{t}": 0 for t in thresh_list}
+    recall.update({f"recall_roi_{t}": 0 for t in thresh_list})
     recall["gt"] = 0
+    has_rois = False
     t0 = time.time()
     n_frames = 0
     for batch in loader:
@@ -69,12 +109,15 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
             for i in range(b)
         ]
         if "gt_boxes" in batch:
+            has_rois = has_rois or "rois" in dets
             for i in range(b):
                 r = compute_recall(
                     dets["pred_boxes"][i], dets["pred_mask"][i],
                     np.asarray(batch["gt_boxes"][i]), thresh_list,
+                    rois=dets["rois"][i] if "rois" in dets else None,
+                    roi_mask=dets["roi_mask"][i] if "roi_mask" in dets else None,
                 )
-                for k in recall:
+                for k in r:
                     recall[k] += r[k]
         det_annos.extend(
             dataset.generate_prediction_dicts(batch, pred_dicts, class_names)
@@ -95,6 +138,11 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
                 f"recall/{t}": recall[f"recall_{t}"] / max(recall["gt"], 1)
                 for t in thresh_list
             }
+            if has_rois:
+                out.update({
+                    f"recall/roi_{t}": recall[f"recall_roi_{t}"] / max(recall["gt"], 1)
+                    for t in thresh_list
+                })
             out["sec_per_example"] = sec_per_ex
             return out, det_annos
 
@@ -103,6 +151,8 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
         for t in thresh_list:
             denom = max(recall["gt"], 1)
             logger.info("recall@%.1f: %.4f", t, recall[f"recall_{t}"] / denom)
+            if has_rois:
+                logger.info("recall_roi@%.1f: %.4f", t, recall[f"recall_roi_{t}"] / denom)
 
     result_str, result_dict = dataset.evaluation(det_annos, class_names)
     if logger:
@@ -110,5 +160,10 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
     result_dict.update(
         {f"recall/{t}": recall[f"recall_{t}"] / max(recall["gt"], 1) for t in thresh_list}
     )
+    if has_rois:
+        result_dict.update({
+            f"recall/roi_{t}": recall[f"recall_roi_{t}"] / max(recall["gt"], 1)
+            for t in thresh_list
+        })
     result_dict["sec_per_example"] = sec_per_ex
     return result_dict, det_annos

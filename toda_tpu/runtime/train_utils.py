@@ -141,7 +141,18 @@ def train_model(
                     data_avg, batch_avg,
                 )
             if tb_log is not None:
-                tb_log.add_scalar("train/loss", float(tb["loss"]), accumulated_iter)
+                # full tb_dict surface (reference train_utils.py:82-86): loss
+                # components, lr, and host-side timings
+                for k, v in tb.items():
+                    if np.ndim(v) == 0:
+                        tb_log.add_scalar(f"train/{k}", float(v), accumulated_iter)
+                if schedule is not None:
+                    tb_log.add_scalar(
+                        "meta_data/learning_rate", float(schedule(accumulated_iter)),
+                        accumulated_iter,
+                    )
+                tb_log.add_scalar("meta_data/data_time", data_meter.val, accumulated_iter)
+                tb_log.add_scalar("meta_data/batch_time", batch_meter.val, accumulated_iter)
 
         if cur_epoch % ckpt_save_interval == 0 or cur_epoch == total_epochs - 1:
             # collective: every process must call (orbax syncs across hosts and

@@ -22,14 +22,14 @@ def main():
     import bench
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    step, state, arrays, _ = bench.build_bench(bs)
-    state, tb = step(state, arrays)
+    step, state, batches, _ = bench.build_bench(bs)
+    state, tb = step(state, batches[0])
     jax.block_until_ready(tb["loss"])
 
     trace_dir = "/tmp/toda_trace"
     with jax.profiler.trace(trace_dir):
-        for _ in range(3):
-            state, tb = step(state, arrays)
+        for i in range(3):
+            state, tb = step(state, batches[i % len(batches)])
         jax.block_until_ready(tb["loss"])
 
     files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))

@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--pretrained_model", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--skip_eval", action="store_true",
+                        help="skip the post-training target-domain eval")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -67,11 +69,20 @@ def main():
     if resume:
         state, start_epoch = ckpt_lib.load_checkpoint(resume, state)
 
-    train_model(
+    state = train_model(
         bundle, state, loader, cfg.OPTIMIZATION, start_epoch=start_epoch,
         total_epochs=epochs, ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
     )
     logger.info("stage-1 training done")
+
+    if not args.skip_eval and "DATA_CONFIG_TEST" in cfg:
+        # target-domain eval (reference stage1_cutmix_train.py:186-200)
+        from toda_tpu.runtime.eval_utils import evaluate_target_domain
+
+        evaluate_target_domain(
+            cfg, state, batch_size, logger=logger,
+            result_dir=output_dir / "eval", dist=world > 1,
+        )
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ def parse_args():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--pretrained_model", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--skip_eval", action="store_true",
+                        help="skip the post-training target-domain eval")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -63,11 +65,19 @@ def main():
         state = ckpt_lib.load_params_only(args.pretrained_model, state)
         logger.info("transferred stage-1 weights from %s", args.pretrained_model)
 
-    train_model(
+    state = train_model(
         bundle, state, loader, cfg.OPTIMIZATION, start_epoch=0, total_epochs=epochs,
         ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
     )
     logger.info("stage-2 training done")
+
+    if not args.skip_eval and "DATA_CONFIG_TEST" in cfg:
+        # target-domain eval (reference stage2_mixup_train.py post-train eval)
+        from toda_tpu.runtime.eval_utils import evaluate_target_domain
+
+        evaluate_target_domain(
+            cfg, state, batch_size, logger=logger, result_dir=output_dir / "eval",
+        )
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ def main():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--pretrained_model", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--skip_eval", action="store_true",
+                        help="skip the post-training target-domain eval")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -91,9 +93,17 @@ def main():
             float(tb["consistency_center"]), float(tb["consistency_size"]),
             time.time() - t0,
         )
-        if jax.process_index() == 0:
-            ckpt_lib.save_checkpoint(ckpt_dir, state, epoch=epoch + 1)
+        # collective: orbax save syncs across processes (primary host writes)
+        ckpt_lib.save_checkpoint(ckpt_dir, state, epoch=epoch + 1)
     logger.info("stage-2 CL training done")
+
+    if not args.skip_eval and "DATA_CONFIG_TEST" in cfg:
+        # target-domain eval (reference evaluates DATA_CONFIG_TEST post-stage)
+        from toda_tpu.runtime.eval_utils import evaluate_target_domain
+
+        evaluate_target_domain(
+            cfg, state, batch_size, logger=logger, result_dir=output_dir / "eval",
+        )
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ from toda_tpu.datasets import build_dataloader
 from toda_tpu.models import build_network
 from toda_tpu.parallel import get_dist_info, init_distributed
 from toda_tpu.runtime import checkpoint as ckpt_lib
-from toda_tpu.runtime.eval_utils import eval_one_epoch
 from toda_tpu.runtime.train_utils import create_train_state, train_model
 from toda_tpu.utils import common_utils
 
@@ -102,6 +101,13 @@ def main():
         state, start_epoch = ckpt_lib.load_checkpoint(resume_from, state)
         logger.info("resumed from %s (epoch %d)", resume_from, start_epoch)
 
+    # training scalars into the run dir (reference train_utils.py:82-86 tb_log)
+    tb_log = None
+    if rank == 0:
+        from toda_tpu.utils.scalar_writer import create_scalar_writer
+
+        tb_log = create_scalar_writer(output_dir / "tensorboard")
+
     logger.info("********** Start training (epochs %d->%d) **********", start_epoch, epochs)
     state = train_model(
         bundle, state, loader, cfg.OPTIMIZATION,
@@ -109,20 +115,27 @@ def main():
         ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
         ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num,
+        tb_log=tb_log,
     )
+    if tb_log is not None:
+        tb_log.flush()
     logger.info("********** Training done **********")
 
     if args.eval_after_train:
-        eval_ds, eval_loader, _ = build_dataloader(
-            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-            dist=dist, training=False, logger=logger,
+        # stage configs carry a target-domain DATA_CONFIG_TEST distinct from the
+        # MIX train config (reference stage1_cutmix_train.py:186-200 evaluates
+        # the target domain after stage training); the helper rebuilds the
+        # bundle over the eval domain's metadata
+        from toda_tpu.runtime.eval_utils import evaluate_target_domain
+
+        result, _ = evaluate_target_domain(
+            cfg, state, batch_size, logger=logger,
+            result_dir=output_dir / "eval", dist=dist,
         )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        result, _ = eval_one_epoch(
-            bundle, variables, eval_loader, eval_ds, cfg.CLASS_NAMES, logger=logger,
-            result_dir=output_dir / "eval",
-        )
-        logger.info("eval result: %s", result)
+        if tb_log is not None:
+            for k, v in result.items():
+                tb_log.add_scalar(f"eval/{k}", float(v), epochs)
+            tb_log.flush()
 
 
 if __name__ == "__main__":
