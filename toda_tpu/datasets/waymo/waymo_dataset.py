@@ -134,14 +134,151 @@ class WaymoDataset(DatasetTemplate):
         return db
 
 
-def create_waymo_infos(raw_data_path, save_path, **kwargs):
-    """TFRecord -> npy + info extraction — requires tensorflow + waymo_open_dataset."""
-    try:
-        import tensorflow  # noqa
-        from waymo_open_dataset import dataset_pb2  # noqa
-    except ImportError as e:
-        raise ImportError(
-            "waymo info generation needs tensorflow + waymo_open_dataset; "
-            "precomputed OpenPCDet-style infos/npy files load without them"
-        ) from e
-    raise NotImplementedError("port the TFRecord traversal when TF is available")
+def process_single_sequence(sequence_file, save_path, sampled_interval=1,
+                            has_label=True, use_two_returns=True):
+    """One .tfrecord sequence -> per-frame npy point clouds + info list,
+    in the OpenPCDet artifact layout this adapter loads. Devkit-free
+    (toda_tpu/datasets/waymo/tfrecord_io.py); reference:
+    pcdet/datasets/waymo/waymo_utils.py:186-246 process_single_sequence."""
+    from . import tfrecord_io as tio
+
+    sequence_file = Path(sequence_file)
+    sequence_name = sequence_file.stem.replace(".tfrecord", "")
+    cur_save_dir = Path(save_path) / sequence_name
+    cur_save_dir.mkdir(parents=True, exist_ok=True)
+    pkl_file = cur_save_dir / f"{sequence_name}.pkl"
+    if pkl_file.exists():
+        with open(pkl_file, "rb") as f:
+            return pickle.load(f)
+
+    sequence_infos = []
+    for cnt, payload in enumerate(tio.read_tfrecords(sequence_file)):
+        if cnt % sampled_interval != 0:
+            continue
+        frame = tio.parse_frame(payload)
+
+        info = {
+            "point_cloud": {
+                "num_features": 5, "lidar_sequence": sequence_name, "sample_idx": cnt,
+            },
+            "frame_id": f"{sequence_name}_{cnt:03d}",
+            "metadata": {
+                "context_name": frame["context_name"],
+                "timestamp_micros": frame["timestamp_micros"],
+            },
+            "image": {
+                f"image_shape_{j}": (cam["height"], cam["width"])
+                for j, cam in enumerate(frame["camera_calibrations"][:5])
+            },
+            "pose": frame["pose"].astype(np.float32),
+        }
+
+        if has_label:
+            info["annos"] = _labels_to_annos(frame["laser_labels"])
+
+        calib_of = {c["name"]: c for c in frame["laser_calibrations"]}
+        all_points, num_per_lidar = [], []
+        returns = ("ri_return1", "ri_return2") if use_two_returns else ("ri_return1",)
+        for laser in sorted(frame["lasers"], key=lambda l: l["name"]):
+            calib = calib_of.get(laser["name"])
+            if calib is None:
+                continue
+            n_lidar = 0
+            for ret in returns:
+                ri = laser[ret].get("range_image")
+                if ri is None or ri.ndim != 3:
+                    continue
+                pose_ri = laser["ri_return1"].get("pose")
+                pixel_pose = frame_pose = None
+                if laser["name"] == tio.LASER_TOP and pose_ri is not None:
+                    pixel_pose, frame_pose = pose_ri, frame["pose"]
+                pts, nlz = tio.range_image_to_points(
+                    ri, calib["extrinsic"],
+                    beam_inclinations=calib["beam_inclinations"],
+                    inclination_range=(
+                        calib["beam_inclination_min"], calib["beam_inclination_max"]
+                    ),
+                    pixel_pose=pixel_pose, frame_pose=frame_pose,
+                )
+                all_points.append(
+                    np.concatenate([pts, nlz[:, None]], axis=-1).astype(np.float32)
+                )
+                n_lidar += len(pts)
+            num_per_lidar.append(n_lidar)
+        save_points = (
+            np.concatenate(all_points, axis=0)
+            if all_points else np.zeros((0, 6), np.float32)
+        )
+        np.save(cur_save_dir / f"{cnt:04d}.npy", save_points)
+        info["num_points_of_each_lidar"] = num_per_lidar
+        sequence_infos.append(info)
+
+    with open(pkl_file, "wb") as f:
+        pickle.dump(sequence_infos, f)
+    return sequence_infos
+
+
+def _labels_to_annos(laser_labels):
+    """Frame labels -> the pcdet annos dict (waymo_utils.generate_labels:23-62);
+    'unknown' entries dropped, boxes as [x y z l w h heading]."""
+    from .tfrecord_io import WAYMO_CLASSES
+
+    names, difficulty, dims, locs, headings = [], [], [], [], []
+    track_diff, obj_ids, num_pts = [], [], []
+    for lab in laser_labels:
+        cls = WAYMO_CLASSES[lab["type"]] if lab["type"] < len(WAYMO_CLASSES) else "unknown"
+        if cls == "unknown":
+            continue
+        box = lab["box"]
+        names.append(cls)
+        difficulty.append(lab["detection_difficulty_level"])
+        track_diff.append(lab["tracking_difficulty_level"])
+        dims.append([box["length"], box["width"], box["height"]])
+        locs.append([box["center_x"], box["center_y"], box["center_z"]])
+        headings.append(box["heading"])
+        obj_ids.append(lab["id"])
+        num_pts.append(lab["num_lidar_points_in_box"])
+    annos = {
+        "name": np.asarray(names),
+        "difficulty": np.asarray(difficulty),
+        "dimensions": np.asarray(dims, np.float32).reshape(-1, 3),
+        "location": np.asarray(locs, np.float32).reshape(-1, 3),
+        "heading_angles": np.asarray(headings, np.float32),
+        "obj_ids": np.asarray(obj_ids),
+        "tracking_difficulty": np.asarray(track_diff),
+        "num_points_in_gt": np.asarray(num_pts),
+    }
+    if len(names):
+        annos["gt_boxes_lidar"] = np.concatenate(
+            [annos["location"], annos["dimensions"], annos["heading_angles"][:, None]],
+            axis=1,
+        )
+    else:
+        annos["gt_boxes_lidar"] = np.zeros((0, 7), np.float32)
+    return annos
+
+
+def create_waymo_infos(raw_data_path, save_path, split_files=None,
+                       sampled_interval=1, has_label=True, use_two_returns=True,
+                       logger=None):
+    """TFRecord -> npy + info extraction, devkit-free (no tensorflow /
+    waymo_open_dataset needed — see tfrecord_io.py). Processes every
+    .tfrecord under raw_data_path (or the named split_files), writing the
+    OpenPCDet-convention artifact tree; returns the flat info list.
+    Reference: pcdet/datasets/waymo/waymo_dataset.py create_waymo_infos +
+    waymo_utils.py:186-246."""
+    raw = Path(raw_data_path)
+    files = (
+        [raw / f for f in split_files]
+        if split_files
+        else sorted(raw.glob("*.tfrecord"))
+    )
+    all_infos = []
+    for seq in files:
+        infos = process_single_sequence(
+            seq, save_path, sampled_interval, has_label, use_two_returns
+        )
+        all_infos.extend(infos)
+        if logger:
+            logger.info("%s: %d frames", seq.name, len(infos))
+    return all_infos
