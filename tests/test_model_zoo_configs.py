@@ -1,0 +1,133 @@
+"""Build-smoke test over the real-dataset model-zoo configs (VERDICT r2 #7).
+
+Every kitti_models / waymo_models / nuscenes_models yaml must build its full
+network from the config and run one forward pass on synthetic-shaped data.
+Real datasets are not present in CI, so the dataset is swapped for the
+synthetic fixture with the config's own feature encoding / voxelization,
+shrunk to a 64x64-cell BEV window to keep the (eager, uncompiled) forward
+cheap.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from toda_tpu.config import EDict, cfg_from_yaml_file
+
+REPO = Path(__file__).resolve().parents[1]
+ZOO = sorted(
+    str(p.relative_to(REPO))
+    for d in ("kitti_models", "waymo_models", "nuscenes_models")
+    for p in (REPO / "tools" / "cfgs" / d).glob("*.yaml")
+)
+
+
+def shrink_for_smoke(cfg):
+    dc = cfg.DATA_CONFIG
+    dc.DATASET = "SyntheticDataset"
+    dc.NUM_SCENES = 2
+    dc.NUM_OBJECTS = [1, 2]
+    dc.NUM_BACKGROUND_POINTS = 1024
+    dc.MAX_GT_BOXES = 16
+    dc.pop("BALANCED_RESAMPLING", None)
+    dc.pop("SHIFT_COOR", None)
+
+    voxel = None
+    for p in dc.get("DATA_PROCESSOR", []):
+        if p.NAME == "sample_points":
+            p.NUM_POINTS = {"train": 2048, "test": 2048}
+        elif p.NAME == "transform_points_to_voxels":
+            voxel = p.VOXEL_SIZE
+            p.MAX_NUMBER_OF_VOXELS = {"train": 1024, "test": 1024}
+    rng = list(dc.POINT_CLOUD_RANGE)
+    if voxel is not None:
+        # 64x64 BEV cells (divisible by every stride used); z capped at 16
+        # cells (>= the 3 stride-2 halvings the 8x backbones apply)
+        vx, vy, vz = (float(v) for v in voxel[:3])
+        x0 = 0.0 if rng[0] >= 0 else -32 * vx
+        y0 = -32 * vy
+        z_span = min(rng[5] - rng[2], 16 * vz)
+        z0 = -1.0 - z_span / 2  # synthetic scenes live around z ~ -1 m
+        dc.POINT_CLOUD_RANGE = [x0, y0, z0, x0 + 64 * vx, y0 + 64 * vy, z0 + z_span]
+    else:
+        dc.POINT_CLOUD_RANGE = [-10.0, -10.0, rng[2], 10.0, 10.0, rng[5]]
+
+    model = cfg.MODEL
+    if "BACKBONE_3D" in model and model.BACKBONE_3D:
+        bb = model.BACKBONE_3D
+        if "MAX_PILLARS" in bb:
+            bb.MAX_PILLARS = 1024
+        if bb.get("NAME") == "PointNet2MSG":
+            n = len(bb.SA_CONFIG.NPOINTS)
+            bb.SA_CONFIG.NPOINTS = [max(256 >> i, 16) for i in range(n)]
+    if "PFE" in model and model.PFE:
+        model.PFE.NUM_KEYPOINTS = 128
+    if "ROI_HEAD" in model and model.ROI_HEAD:
+        rh = model.ROI_HEAD
+        if "SA_CONFIG" in rh:
+            npts = rh.SA_CONFIG.NPOINTS
+            rh.SA_CONFIG.NPOINTS = [min(v, 32) if v > 0 else v for v in npts]
+        if "ROI_POINT_POOL" in rh:
+            rh.ROI_POINT_POOL.NUM_SAMPLED_POINTS = 64
+        for grp in ("NMS_CONFIG",):
+            if grp in rh:
+                for phase in rh[grp].values():
+                    phase["NMS_PRE_MAXSIZE"] = min(int(phase["NMS_PRE_MAXSIZE"]), 256)
+                    phase["NMS_POST_MAXSIZE"] = min(int(phase["NMS_POST_MAXSIZE"]), 32)
+        if "NUM_ROIS" in rh:
+            rh.NUM_ROIS = 32
+    if model.get("VFE", {}).get("NAME") == "ImageVFE":
+        dc.pop("GET_ITEM_LIST", None)  # synthetic dataset has no camera files
+        dc.IMAGE_SHAPE = [96, 128]
+        model.VFE.FFN.DDN.disc_cfg.num_bins = 40
+    pp = model.POST_PROCESSING.NMS_CONFIG
+    pp.NMS_PRE_MAXSIZE = min(int(pp.NMS_PRE_MAXSIZE), 256)
+    pp.NMS_POST_MAXSIZE = min(int(pp.NMS_POST_MAXSIZE), 32)
+    return cfg
+
+
+@pytest.mark.parametrize("rel", ZOO, ids=[Path(p).stem + "_" + Path(p).parts[-2] for p in ZOO])
+def test_zoo_config_builds_and_forwards(rel):
+    import jax
+
+    from toda_tpu.datasets import build_dataloader
+    from toda_tpu.models import build_network
+
+    np.random.seed(0)
+    cfg = cfg_from_yaml_file(str(REPO / rel), EDict())
+    cfg = shrink_for_smoke(cfg)
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    batch = next(iter(loader))
+    import jax.numpy as jnp
+
+    arrays = {
+        "points": jnp.asarray(batch["points"]),
+        "points_mask": jnp.asarray(batch["points_mask"]),
+        "batch_size": 1,
+    }
+    if cfg.MODEL.get("VFE", {}).get("NAME") == "ImageVFE":
+        # synthetic camera inputs (the kitti adapter supplies real ones)
+        h, w = cfg.DATA_CONFIG.IMAGE_SHAPE
+        arrays["images"] = jnp.asarray(
+            np.random.RandomState(0).uniform(0, 1, (1, h, w, 3)), jnp.float32
+        )
+        t_l2c = np.zeros((1, 4, 4), np.float32)
+        t_l2c[:, 0, 1] = -1
+        t_l2c[:, 1, 2] = -1
+        t_l2c[:, 2, 0] = 1
+        t_l2c[:, 3, 3] = 1
+        t_c2i = np.zeros((1, 3, 4), np.float32)
+        t_c2i[:, 0, 0] = t_c2i[:, 1, 1] = 80.0
+        t_c2i[:, 0, 2] = w / 2
+        t_c2i[:, 1, 2] = h / 2
+        t_c2i[:, 2, 2] = 1.0
+        arrays["trans_lidar_to_cam"] = jnp.asarray(t_l2c)
+        arrays["trans_cam_to_img"] = jnp.asarray(t_c2i)
+    variables = bundle.init(jax.random.PRNGKey(0), dict(arrays))
+    dets = bundle.predict(variables, dict(arrays))
+    assert "pred_boxes" in dets and np.all(np.isfinite(np.asarray(dets["pred_boxes"])))
+    assert dets["pred_boxes"].shape[0] == 1

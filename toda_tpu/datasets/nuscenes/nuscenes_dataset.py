@@ -32,6 +32,16 @@ class NuScenesDataset(DatasetTemplate):
         self.max_sweeps = int(dataset_cfg.get("MAX_SWEEPS", 1))
         self.shift_coor = dataset_cfg.get("SHIFT_COOR", None)
         self.include_nuscenes_data(self.mode)
+        pct = float(dataset_cfg.get("LABELED_PERCENTAGE", 100.0))
+        if self.training and pct < 100.0 and len(self.infos):
+            # SSDA labeled-fraction split: deterministic percentage subset of
+            # the train frames (reference's ssda3d_centerpoint_* configs pair
+            # with percentage info files; here the subset is drawn seeded)
+            n = max(int(round(len(self.infos) * pct / 100.0)), 1)
+            sel = np.random.RandomState(3407).permutation(len(self.infos))[:n]
+            self.infos = [self.infos[i] for i in sorted(sel)]
+            if self.logger:
+                self.logger.info("labeled subset: %d frames (%.1f%%)", n, pct)
         if self.training and dataset_cfg.get("BALANCED_RESAMPLING", False):
             self.infos = self.balanced_infos_resampling(self.infos)
 

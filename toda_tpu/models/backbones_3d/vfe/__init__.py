@@ -8,5 +8,8 @@ __all__ = {
     "PillarVFE": PillarVFE,
     "DynamicMeanVFE": DynamicMeanVFE,
     "DynamicPillarVFE": DynamicPillarVFE,
+    # pcdet's public config names for the dynamic VFEs (vfe/__init__.py there)
+    "DynMeanVFE": DynamicMeanVFE,
+    "DynPillarVFE": DynamicPillarVFE,
     "ImageVFE": ImageVFE,
 }

@@ -91,7 +91,9 @@ class AxisAlignedTargetAssigner:
         )
         labels = jnp.where(pos, gt_cls[assigned_gt], jnp.where(neg, 0, -1))
 
-        matched_gt = gt_boxes[assigned_gt][:, :7]
+        # keep every box column except the trailing class id — velocity
+        # channels (nuScenes 9-col boxes) ride into the residual encoding
+        matched_gt = gt_boxes[assigned_gt][:, :-1]
         reg_targets = self.box_coder.encode(matched_gt, anchors)
         reg_targets = jnp.where(pos[:, None], reg_targets, 0.0)
 

@@ -49,14 +49,20 @@ class DatasetMeta:
 
     @classmethod
     def from_dataset(cls, dataset):
+        # point-only pipelines (PointRCNN) have no voxelization processor
+        voxel_size = getattr(dataset, "voxel_size", None)
+        grid_size = getattr(dataset, "grid_size", None)
+        dp = dataset.data_processor
         return cls(
             class_names=tuple(dataset.class_names),
             point_cloud_range=tuple(float(v) for v in dataset.point_cloud_range),
-            voxel_size=tuple(float(v) for v in dataset.voxel_size),
-            grid_size=tuple(int(v) for v in dataset.grid_size),
+            voxel_size=None if voxel_size is None else tuple(float(v) for v in voxel_size),
+            grid_size=None if grid_size is None else tuple(int(v) for v in grid_size),
             num_point_features=dataset.point_feature_encoder.num_point_features,
-            max_voxels=int(dataset.data_processor.max_voxels),
-            max_points_per_voxel=int(dataset.data_processor.max_points_per_voxel),
+            max_voxels=int(dp.max_voxels) if dp.max_voxels else 0,
+            max_points_per_voxel=(
+                int(dp.max_points_per_voxel) if dp.max_points_per_voxel else 0
+            ),
         )
 
 
@@ -96,6 +102,10 @@ class Detector3D(nn.Module):
         batch_dict.setdefault("batch_size", batch_dict["points"].shape[0])
         bb3d_name = cfg.get("BACKBONE_3D", {}).get("NAME") if cfg.get("BACKBONE_3D") else None
         vfe_name = cfg.get("VFE", {}).get("NAME") if cfg.get("VFE") else None
+        # pcdet's public aliases for the dynamic VFEs
+        vfe_name = {"DynMeanVFE": "DynamicMeanVFE", "DynPillarVFE": "DynamicPillarVFE"}.get(
+            vfe_name, vfe_name
+        )
         # pillar backbones and dynamic VFEs own their voxelization
         skip_voxelize = bb3d_name in POINT_CONSUMING or vfe_name in (
             "DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"
@@ -375,10 +385,14 @@ class DetectorBundle:
                 self.meta.grid_size,
             )
             anchors, anchor_cls, m_thr, u_thr, fmap, num_anchors_per_loc = gen.generate()
-            self.box_coder = ResidualCoder(code_size=7)
+            ta_cfg = model_cfg["DENSE_HEAD"].get("TARGET_ASSIGNER_CONFIG", {})
+            bc_cfg = ta_cfg.get("BOX_CODER_CONFIG", {})
+            self.box_coder = ResidualCoder(
+                code_size=int(bc_cfg.get("code_size", 7)),
+                encode_angle_by_sincos=bool(bc_cfg.get("encode_angle_by_sincos", False)),
+            )
             code_size = self.box_coder.code_size
             self.anchors = jnp.asarray(anchors)
-            ta_cfg = model_cfg["DENSE_HEAD"].get("TARGET_ASSIGNER_CONFIG", {})
             if ta_cfg.get("NAME") == "ATSSTargetAssigner":
                 from ..dense_heads.target_assigner.atss_target_assigner import (
                     ATSSTargetAssigner,
@@ -395,7 +409,13 @@ class DetectorBundle:
         elif self.dense_head_name == "AnchorHeadMulti":
             # one independent anchor set + assigner per RPN_HEAD_CFGS group
             # (reference anchor_head_multi.make_multihead)
-            self.box_coder = ResidualCoder(code_size=7)
+            bc_cfg = model_cfg["DENSE_HEAD"].get(
+                "TARGET_ASSIGNER_CONFIG", {}
+            ).get("BOX_CODER_CONFIG", {})
+            self.box_coder = ResidualCoder(
+                code_size=int(bc_cfg.get("code_size", 7)),
+                encode_angle_by_sincos=bool(bc_cfg.get("encode_angle_by_sincos", False)),
+            )
             code_size = self.box_coder.code_size
             all_gen_cfgs = model_cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]
             self.head_groups = [
