@@ -92,6 +92,32 @@ class KittiDataset(DatasetTemplate):
             plane = -plane
         return plane / np.linalg.norm(plane[:3])
 
+    def get_image(self, lidar_idx, out_shape=None):
+        """Load image_2/<idx>.png as float32 (H, W, 3) in [0, 1], padded
+        bottom/right to `out_shape` for static batching (reference
+        kitti_dataset.get_image + pcdet's pad-to-multiple convention)."""
+        from PIL import Image
+
+        path = self.root_split_path() / "image_2" / f"{lidar_idx}.png"
+        img = np.asarray(Image.open(str(path)).convert("RGB"), dtype=np.float32) / 255.0
+        if out_shape is not None:
+            h, w = out_shape
+            img = img[:h, :w]
+            pad_h, pad_w = h - img.shape[0], w - img.shape[1]
+            if pad_h or pad_w:
+                img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+        return img
+
+    def get_calib_matrices(self, info):
+        """(trans_lidar_to_cam (4, 4), trans_cam_to_img (3, 4)) from the info's
+        calib block — the two operators ImageVFE's frustum-to-voxel needs
+        (reference calibration_kitti + f2v sampler)."""
+        calib = info["calib"]
+        v2c = np.asarray(calib["Tr_velo_to_cam"], np.float32).reshape(4, 4)
+        r0 = np.asarray(calib["R0_rect"], np.float32).reshape(4, 4)
+        p2 = np.asarray(calib["P2"], np.float32).reshape(4, 4)[:3]
+        return (r0 @ v2c).astype(np.float32), p2.astype(np.float32)
+
     @staticmethod
     def get_fov_flag(pts_rect, img_shape, calib):
         """Points visible in the camera image (reference get_fov_flag)."""
@@ -264,13 +290,25 @@ class KittiDataset(DatasetTemplate):
         return len(self.infos)
 
     def __getitem__(self, index):
+        info = self.infos[index]
         points, gt_boxes, gt_names = self.get_raw_scene(index)
-        return self.prepare_data(
-            {
-                "points": points, "gt_boxes": gt_boxes, "gt_names": gt_names,
-                "frame_id": self.infos[index]["point_cloud"]["lidar_idx"],
-            }
-        )
+        data_dict = {
+            "points": points, "gt_boxes": gt_boxes, "gt_names": gt_names,
+            "frame_id": info["point_cloud"]["lidar_idx"],
+        }
+        # camera items for CaDDN (reference GET_ITEM_LIST
+        # ['images', 'calib_matricies'], kitti_dataset.py __getitem__)
+        item_list = self.dataset_cfg.get("GET_ITEM_LIST", ["points"])
+        if "images" in item_list:
+            shape = self.dataset_cfg.get("IMAGE_SHAPE", [384, 1248])
+            data_dict["images"] = self.get_image(
+                info["point_cloud"]["lidar_idx"], out_shape=tuple(shape)
+            )
+        if "calib_matricies" in item_list and "calib" in info:
+            l2c, c2i = self.get_calib_matrices(info)
+            data_dict["trans_lidar_to_cam"] = l2c
+            data_dict["trans_cam_to_img"] = c2i
+        return self.prepare_data(data_dict)
 
     def evaluation(self, det_annos, class_names, **kwargs):
         """Official-protocol eval: passes the FULL annos (incl. DontCare rows

@@ -100,6 +100,9 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
             "points": jnp.asarray(batch["points"]),
             "points_mask": jnp.asarray(batch["points_mask"]),
         }
+        for k in ("images", "trans_lidar_to_cam", "trans_cam_to_img"):
+            if k in batch:  # camera detectors (CaDDN)
+                arrays[k] = jnp.asarray(batch[k])
         dets = predict_step(variables, arrays)
         dets = {k: np.asarray(v) for k, v in dets.items()}
         b = dets["pred_boxes"].shape[0]

@@ -27,7 +27,12 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-ARRAY_KEYS = ("points", "points_mask", "gt_boxes")
+ARRAY_KEYS = (
+    "points", "points_mask", "gt_boxes",
+    # camera items (CaDDN): present only when the dataset's GET_ITEM_LIST
+    # requests them
+    "images", "trans_lidar_to_cam", "trans_cam_to_img",
+)
 
 
 def select_batch_arrays(batch):
