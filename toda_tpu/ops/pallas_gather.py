@@ -350,14 +350,22 @@ def _pallas_ok_t(dtype, n, m, w):
     )
 
 
-def _gather_taps_t_kernel(lo_ref, li_ref, src, *refs):
+def _gather_taps_t_kernel(meta_ref, li_ref, src, *refs):
+    """meta_ref (nblk, 1 + 2T): [0] window lo, [1+t] / [1+T+t] first/last
+    128-lane subwindow containing tap t's indices — each output column is
+    selected by exactly ONE subwindow (one-hot), so subwindows outside the
+    range contribute only zeros and their dots are skipped (predication).
+    The first in-range subwindow STORES (covers the no-valid case with an
+    all-zero dot), later in-range ones ADD — exact, no zero-init needed."""
     outs, (win, sem) = refs[:-2], refs[-2:]
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     nbuf, _, s = win.shape
+    ntap = len(outs)
+    nsub = s // 128
 
     def start(blk, slot):
-        off = pl.multiple_of(lo_ref[blk], 128)
+        off = pl.multiple_of(meta_ref[blk, 0], 128)
         pltpu.make_async_copy(
             src.at[:, pl.ds(off, s)], win.at[slot], sem.at[slot]
         ).start()
@@ -373,23 +381,49 @@ def _gather_taps_t_kernel(lo_ref, li_ref, src, *refs):
 
     slot = i % nbuf
     pltpu.make_async_copy(
-        src.at[:, pl.ds(pl.multiple_of(lo_ref[i], 128), s)], win.at[slot], sem.at[slot]
+        src.at[:, pl.ds(pl.multiple_of(meta_ref[i, 0], 128), s)],
+        win.at[slot], sem.at[slot],
     ).wait()
 
     li = li_ref[0]  # (T, 8, B) sublane-replicated local indices
     bsz = li.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (s, bsz), 0)
     for t, out_ref in enumerate(outs):
+        smin = meta_ref[i, 1 + t]
+        smax = meta_ref[i, 1 + ntap + t]
         onehot = (iota == li[t, 0:1]).astype(src.dtype)  # (S, B)
         for b in range(nbuf):
-            @pl.when(slot == b)
-            def _(b=b, onehot=onehot, out_ref=out_ref):
-                out_ref[:] = jnp.dot(
-                    win[b], onehot, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype)
+            for sub in range(nsub):
+                oh = onehot[sub * 128 : (sub + 1) * 128]
+
+                @pl.when((slot == b) & (smin == sub))
+                def _(b=b, sub=sub, oh=oh, out_ref=out_ref):
+                    out_ref[:] = jnp.dot(
+                        win[b, :, sub * 128 : (sub + 1) * 128], oh,
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+
+                @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                def _(b=b, sub=sub, oh=oh, out_ref=out_ref):
+                    out_ref[:] += jnp.dot(
+                        win[b, :, sub * 128 : (sub + 1) * 128], oh,
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
 
 
-def _pallas_gather_taps_t(tableT, lo, li4, m, ntap, span):
+def _sub_ranges(vli, gv, span):
+    """Per-(block, tap) first/last 128-lane subwindow containing valid local
+    indices. vli (nblk, B, T) local indices, gv same-shape validity. Empty
+    taps map to (0, 0): the sub-0 STORE writes the all-zero dot."""
+    sub = jnp.clip(vli, 0, span - 1) // 128
+    smin = jnp.min(jnp.where(gv, sub, span), axis=1)  # (nblk, T)
+    none = smin >= span // 128
+    smin = jnp.where(none, 0, smin)
+    smax = jnp.where(none, 0, jnp.max(jnp.where(gv, sub, -1), axis=1))
+    return smin.astype(jnp.int32), smax.astype(jnp.int32)
+
+
+def _pallas_gather_taps_t(tableT, meta, li4, m, ntap, span):
     w, n = tableT.shape
     nblk = m // BLOCK_T
     gs = pltpu.PrefetchScalarGridSpec(
@@ -415,7 +449,7 @@ def _pallas_gather_taps_t(tableT, lo, li4, m, ntap, span):
         grid_spec=gs,
         out_shape=[jax.ShapeDtypeStruct((w, m), tableT.dtype) for _ in range(ntap)],
         interpret=INTERPRET,
-    )(lo, li4, tableT)
+    )(meta, li4, tableT)
 
 
 def _taps_t_prologue(idx, n, span):
@@ -432,7 +466,13 @@ def _taps_t_prologue(idx, n, span):
     li = jnp.where(valid, jnp.clip(vli, 0, span), span).astype(jnp.int32)
     li4 = li.reshape(nblk, BLOCK_T, ntap).transpose(0, 2, 1)  # (nblk, T, B)
     li4 = jnp.broadcast_to(li4[:, :, None, :], (nblk, ntap, 8, BLOCK_T))
-    return lo, li4, overflow
+    smin, smax = _sub_ranges(
+        vli.reshape(nblk, BLOCK_T, ntap),
+        valid.reshape(nblk, BLOCK_T, ntap),
+        span,
+    )
+    meta = jnp.concatenate([lo[:, None], smin, smax], axis=1)  # (nblk, 1+2T)
+    return meta, li4, overflow
 
 
 def gather_rows_taps_t(tableT, idx, span=None):
@@ -451,11 +491,11 @@ def gather_rows_taps_t(tableT, idx, span=None):
 
     if not _pallas_ok_t(tableT.dtype, n, m, w) or n < span:
         return fallback()
-    lo, li4, overflow = _taps_t_prologue(idx, n, span)
+    meta, li4, overflow = _taps_t_prologue(idx, n, span)
     return jax.lax.cond(
         overflow,
         fallback,
-        lambda: tuple(_pallas_gather_taps_t(tableT, lo, li4, m, ntap, span)),
+        lambda: tuple(_pallas_gather_taps_t(tableT, meta, li4, m, ntap, span)),
     )
 
 
@@ -470,19 +510,31 @@ def gather_rows_taps_t(tableT, idx, span=None):
 # of nine small convs + an 8-way add chain.
 
 
-def _gather9_stacked_kernel(chunk, identity, lo_ref, li_ref, src, *refs):
+def _gather9_stacked_kernel(chunk, identity, meta_ref, li_ref, src, *refs):
+    """meta_ref (nblk, 21): [0:3] per-dy-group window lo, [3+t]/[12+t] the
+    first/last 128-lane subwindow containing tap t's indices. One-hot
+    selection means each output column comes from exactly one subwindow, so
+    out-of-range sub-dots are skipped (predication): the first in-range one
+    STORES (covers the empty-tap case with an all-zero dot), later ones ADD."""
     if identity is None:
-        out_ref, win, sem = refs
+        if chunk is None:
+            out_ref, win, sem = refs
+        else:
+            out_ref, win, acc, sem = refs
         xblk = None
     else:
-        xblk, out_ref, win, sem = refs
+        if chunk is None:
+            xblk, out_ref, win, sem = refs
+        else:
+            xblk, out_ref, win, acc, sem = refs
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     nbuf, _, w, s = win.shape
+    nsub = s // 128
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(lo_ref[blk, g], 128)
+            off = pl.multiple_of(meta_ref[blk, g], 128)
             pltpu.make_async_copy(
                 src.at[:, pl.ds(off, s)], win.at[slot, g], sem.at[slot, g]
             ).start()
@@ -499,7 +551,7 @@ def _gather9_stacked_kernel(chunk, identity, lo_ref, li_ref, src, *refs):
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(lo_ref[i, g], 128), s)],
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), s)],
             win.at[slot, g],
             sem.at[slot, g],
         ).wait()
@@ -523,13 +575,37 @@ def _gather9_stacked_kernel(chunk, identity, lo_ref, li_ref, src, *refs):
             emit(t, xblk[:])
             continue
         g = t // 3
+        smin = meta_ref[i, 3 + t]
+        smax = meta_ref[i, 12 + t]
         onehot = (iota == li[t, 0:1]).astype(src.dtype)
         for b in range(nbuf):
-            @pl.when(slot == b)
-            def _(b=b, t=t, g=g, onehot=onehot):
-                emit(t, jnp.dot(
-                    win[b, g], onehot, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype))
+            for sub in range(nsub):
+                oh = onehot[sub * 128 : (sub + 1) * 128]
+
+                def dot_sub(b=b, g=g, sub=sub, oh=oh):
+                    return jnp.dot(
+                        win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+
+                if chunk is None:  # contiguous: store/add straight to out
+                    @pl.when((slot == b) & (smin == sub))
+                    def _(t=t, dot_sub=dot_sub):
+                        out_ref[t * w : (t + 1) * w, :] = dot_sub()
+
+                    @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                    def _(t=t, dot_sub=dot_sub):
+                        out_ref[t * w : (t + 1) * w, :] += dot_sub()
+                else:  # interleaved: accumulate contiguously, emit once
+                    @pl.when((slot == b) & (smin == sub))
+                    def _(dot_sub=dot_sub):
+                        acc[:, :] = dot_sub()
+
+                    @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                    def _(dot_sub=dot_sub):
+                        acc[:, :] += dot_sub()
+        if chunk is not None:
+            emit(t, acc[:, :])
 
 
 def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None, identity=None,
@@ -548,6 +624,10 @@ def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None, identity=None,
             pl.BlockSpec((w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(xsrc)
+    scratch = [pltpu.VMEM((NBUF, 3, w, span), tableT.dtype)]
+    if chunk is not None:
+        scratch.append(pltpu.VMEM((w, BLOCK_T), tableT.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((NBUF, 3)))
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -555,10 +635,7 @@ def _pallas_gather9_stacked(tableT, lo, li4, m, span, chunk=None, identity=None,
         out_specs=pl.BlockSpec(
             (9 * w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, 3, w, span), tableT.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 3)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_gather9_stacked_kernel, chunk, identity),
@@ -575,7 +652,7 @@ def _stacked_prologue(idx, n, span):
     valid = blk >= 0
     los = []
     overflow = jnp.zeros((), bool)
-    lis = []
+    lis, vlis = [], []
     for g in range(3):
         grp = blk[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
         gv = valid[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
@@ -588,12 +665,17 @@ def _stacked_prologue(idx, n, span):
         li = jnp.where(gv, jnp.clip(vli, 0, span), span).astype(jnp.int32)
         los.append(lo)
         lis.append(li.reshape(nblk, BLOCK_T, 3))
+        vlis.append(vli.reshape(nblk, BLOCK_T, 3))
     lo3 = jnp.stack(los, axis=1)  # (nblk, 3)
     li9 = jnp.concatenate(lis, axis=2)  # (nblk, B, 9)
     li4 = jnp.broadcast_to(
         li9.transpose(0, 2, 1)[:, :, None, :], (nblk, 9, 8, BLOCK_T)
     )
-    return lo3, li4, overflow
+    smin, smax = _sub_ranges(
+        jnp.concatenate(vlis, axis=2), valid.reshape(nblk, BLOCK_T, 9), span
+    )  # (nblk, 9) each
+    meta = jnp.concatenate([lo3, smin, smax], axis=1)  # (nblk, 21)
+    return meta, li4, overflow
 
 
 def gather9_stacked_t(tableT, idx, span=None, chunk=None, identity_tap=None):
@@ -619,12 +701,210 @@ def gather9_stacked_t(tableT, idx, span=None, chunk=None, identity_tap=None):
         return fallback()
     # the identity shortcut only applies when output rows == table columns
     identity = identity_tap if (identity_tap is not None and m == n) else None
-    lo3, li4, overflow = _stacked_prologue(idx, n, span)
+    meta, li4, overflow = _stacked_prologue(idx, n, span)
     return jax.lax.cond(
         overflow,
         fallback,
         lambda: _pallas_gather9_stacked(
-            tableT, lo3, li4, m, span, chunk, identity, tableT
+            tableT, meta, li4, m, span, chunk, identity, tableT
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# fused 9-tap gather + 3x3x3 submanifold conv (z_stride 1)
+# --------------------------------------------------------------------------
+#
+# The stacked kernel materializes a (9*(nz+2)*c, M) intermediate in HBM that
+# the consumer conv immediately re-reads — ~6.4 GB of round-trip traffic per
+# stage-1 conv at nuScenes scale. This kernel contracts each tap's gathered
+# window against the conv weights IN VMEM instead: per tap, the one-hot
+# sub-dots produce g_t (w, B) in scratch, three z-shifted (c, nz*B) views are
+# assembled by value transposes, and one (3c, cout) x (3c, nz*B) dot
+# accumulates the tap's contribution. Only the (nz*cout, B) conv output block
+# is ever written to HBM.
+
+
+def _gather9_conv_kernel(identity, nz, c, cout, meta_ref, li_ref, w_ref, src, *refs):
+    if identity is None:
+        out_ref, win, gbuf, acc, sem = refs
+        xblk = None
+    else:
+        xblk, out_ref, win, gbuf, acc, sem = refs
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, w, s = win.shape
+    nsub = s // 128
+    bsz = out_ref.shape[1]
+
+    def start(blk, slot):
+        for g in range(3):
+            off = pl.multiple_of(meta_ref[blk, g], 128)
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(off, s)], win.at[slot, g], sem.at[slot, g]
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    for g in range(3):
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), s)],
+            win.at[slot, g],
+            sem.at[slot, g],
+        ).wait()
+
+    li = li_ref[0]  # (9, 8, B)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s, bsz), 0)
+
+    for t in range(9):
+        g = t // 3
+        if t == identity:
+            gv = xblk[:]
+        else:
+            smin = meta_ref[i, 3 + t]
+            smax = meta_ref[i, 12 + t]
+            onehot = (iota == li[t, 0:1]).astype(src.dtype)
+            for b in range(nbuf):
+                for sub in range(nsub):
+                    oh = onehot[sub * 128 : (sub + 1) * 128]
+
+                    @pl.when((slot == b) & (smin == sub))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] = jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+
+                    @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] += jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+            gv = gbuf[:, :]
+        # g3: three z-shifted (c, nz*B) views of the (nz+2)*c-row window
+        g3 = jnp.concatenate(
+            [
+                gv[dz * c : dz * c + nz * c]
+                .reshape(nz, c, bsz)
+                .transpose(1, 0, 2)
+                .reshape(c, nz * bsz)
+                for dz in range(3)
+            ],
+            axis=0,
+        )  # (3c, nz*B)
+        contrib = jax.lax.dot_general(
+            w_ref[t], g3,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cout, nz*B)
+        if t == 0:
+            acc[:, :] = contrib
+        else:
+            acc[:, :] += contrib
+    out = acc[:, :].reshape(cout, nz, bsz).transpose(1, 0, 2)
+    out_ref[:, :] = out.reshape(nz * cout, bsz).astype(out_ref.dtype)
+
+
+def _pallas_gather9_conv(tableT, meta, li4, w9, m, span, nz, c, cout, identity):
+    w, n = tableT.shape
+    nblk = m // BLOCK_T
+    in_specs = [
+        pl.BlockSpec(
+            (1, 9, 8, BLOCK_T), lambda i, lo: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((9, 3 * c, cout), lambda i, lo: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [meta, li4, w9, tableT]
+    if identity is not None:
+        in_specs.append(
+            pl.BlockSpec((w, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(tableT)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (nz * cout, BLOCK_T), lambda i, lo: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, w, span), tableT.dtype),
+            pltpu.VMEM((w, BLOCK_T), tableT.dtype),
+            pltpu.VMEM((cout, nz * BLOCK_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather9_conv_kernel, identity, nz, c, cout),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((nz * cout, m), tableT.dtype),
+        interpret=INTERPRET,
+    )(*args)
+
+
+def gather9_conv_t(tableT, idx, weights, nz, span=None, identity_tap=None):
+    """Fused 9-tap gather + 3x3x3 z-stride-1 conv in the transposed layout.
+
+    Args:
+        tableT: (W, N) haloed activations, W = (nz+2)*c, batch-folded pillars
+            in lanes (z halo of c zero rows top and bottom).
+        idx: (M, 9) batch-folded per-tap neighbor tables (-1 => missing).
+        weights: (3, 3, 3, C, Cout) in (dz, dy, dx) order.
+        nz: output z cells (== input, stride 1).
+    Returns (nz*Cout, M) conv output (UNMASKED — caller applies the pillar
+    mask). Falls back to the stacked-gather + XLA conv when the fast-path
+    requirements fail. NOT differentiable (used inside pillar_conv3d_t's
+    custom VJP)."""
+    w, n = tableT.shape
+    m = idx.shape[0]
+    c = w // (nz + 2)
+    cout = weights.shape[-1]
+    span = span or SPAN_T
+    # (9, 3c, cout): w9[dy*3+dx][dz*c + ci][co]
+    w9 = (
+        weights.transpose(1, 2, 0, 3, 4)
+        .reshape(9, 3 * c, cout)
+        .astype(tableT.dtype)
+    )
+
+    def fallback():
+        gs = [_xla_gather_t(tableT, idx[:, t]) for t in range(9)]
+        acc = None
+        for t, gT in enumerate(gs):
+            g4 = gT.reshape(1, nz + 2, c, m)
+            contrib = jax.lax.conv_general_dilated(
+                g4[0], weights[:, t // 3, t % 3], window_strides=(1,),
+                padding="VALID", dimension_numbers=("WCN", "WIO", "WCN"),
+            )
+            acc = contrib if acc is None else acc + contrib
+        return acc.reshape(nz * cout, m)
+
+    ok = (
+        _pallas_ok_t(tableT.dtype, n, m, w)
+        and n >= span
+        and c % 8 == 0
+        and (nz * cout) % 8 == 0
+        and cout % 8 == 0
+    )
+    if not ok:
+        return fallback()
+    identity = identity_tap if (identity_tap is not None and m == n) else None
+    meta, li4, overflow = _stacked_prologue(idx, n, span)
+    return jax.lax.cond(
+        overflow,
+        fallback,
+        lambda: _pallas_gather9_conv(
+            tableT, meta, li4, w9, m, span, nz, c, cout, identity
         ),
     )
 
