@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.pillar_sparse import (
+    bev_down_tables,
     bev_downsample_sites,
     bev_inv_neighbor_idx_sorted,
     bev_neighbor_idx,
@@ -280,17 +281,13 @@ class _PillarBackboneBase(nn.Module):
             new_coords, new_mask = jax.vmap(
                 lambda c_, m_: bev_downsample_sites(c_, m_, 2, p_out, bev_shape)
             )(coords, mask)
-            nbr = jax.vmap(
-                lambda oc, om, ic, im: bev_neighbor_idx_sorted(
-                    ic, im, oc, om, bev_shape, 2
-                )
-            )(new_coords, new_mask, coords, mask)
             coarse_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
-            inv = jax.vmap(
-                lambda cc, cm, fc, fm: bev_inv_neighbor_idx_sorted(
-                    cc, cm, fc, fm, coarse_shape
+            # forward + inverse tables from ONE merged rank sort
+            nbr, inv = jax.vmap(
+                lambda fc, fm, cc, cm: bev_down_tables(
+                    fc, fm, cc, cm, bev_shape, coarse_shape
                 )
-            )(new_coords, new_mask, coords, mask)
+            )(coords, mask, new_coords, new_mask)
             new_maskf = new_mask.reshape(bt * p_out)
             x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
                 x, fold_idx(nbr, p_in), new_maskf, training, fold_idx(inv, p_out)

@@ -264,6 +264,12 @@ def voxelize_pillars_batched(points, points_mask, voxel_size, pc_range,
         rowid = jnp.where(cvalid, ckey // 8, -1)
         from .pallas_gather import scatter_rows_add
 
+        # NOTE on span: the worst case is 1024 contributions per 128-row output
+        # tile (8 cells/row), so 640 CAN overflow on dense regions and take the
+        # XLA-scatter fallback. Measured r3: span=1152 (never overflows) is
+        # NOT faster — the fixed window then reads ~9x the payload (span/BLOCK
+        # amplification) and the DMA cost matches the fallback scatter's
+        # ~15 ms. Keep 640: fast path on sparse scenes, fallback on dense.
         out = scatter_rows_add(
             exp, rowid, ncell // 8, out_dtype=jnp.float32, span=640
         )  # (bt, ncell/8, 128)
@@ -726,6 +732,43 @@ def pillars_to_dense(features, coords, mask, bev_shape):
     return dense.reshape(ny, nx, nz, c)
 
 
+def _merge_ranks_multi(segments):
+    """Rank queries among keys for SEVERAL independent (key, enc, kmax)
+    problems with ONE lax.sort pair (sorts are fixed-cost-heavy on TPU; a
+    merged sort of n1+n2 elements beats two sorts). Each segment's values are
+    offset into a disjoint range, so ranks separate per segment after the
+    global cumsum: rank_in_segment = global_key_rank - #keys of earlier
+    segments. Returns a list of per-segment query ranks."""
+    vals, slots = [], []
+    sizes = []
+    offset = 0
+    keys_before = []
+    nkeys_cum = 0
+    for key, enc, kmax in segments:
+        stride = 2 * kmax + 4
+        kenc = jnp.where(key == INT_MAX, stride - 1, 2 * key + 1)
+        seg_vals = jnp.concatenate([kenc, jnp.clip(enc, 0, stride - 2)])
+        vals.append(seg_vals + offset)
+        sizes.append((key.shape[0], enc.shape[0]))
+        keys_before.append(nkeys_cum)
+        nkeys_cum += key.shape[0]
+        offset += stride
+    allv = jnp.concatenate(vals)
+    n = allv.shape[0]
+    slots = jnp.arange(n, dtype=jnp.int32)
+    svals, sslots = jax.lax.sort([allv, slots], num_keys=1, is_stable=True)
+    iskey = (svals & 1).astype(jnp.int32)
+    ranks = jnp.cumsum(iskey) - iskey
+    _, ranks_un = jax.lax.sort([sslots, ranks], num_keys=1)
+    out = []
+    pos = 0
+    for (nk, nq), kb in zip(sizes, keys_before):
+        pos += nk
+        out.append(ranks_un[pos : pos + nq] - kb)
+        pos += nq
+    return out
+
+
 def _merge_ranks(key, enc, kmax):
     """Rank encoded queries among the sorted keys WITHOUT scalar gathers.
 
@@ -873,6 +916,88 @@ def bev_inv_neighbor_idx_sorted(coarse_coords, coarse_mask, fine_coords, fine_ma
         right = jnp.where(sel == 0, r[:, dy, 1], r[:, dy, 2])
         cols.append(jnp.where(ok[:, t] & (right > left), left, -1).astype(jnp.int32))
     return jnp.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("bev_shape", "coarse_bev_shape"))
+def bev_down_tables(fine_coords, fine_mask, coarse_coords, coarse_mask,
+                    bev_shape, coarse_bev_shape):
+    """Both downsample-stage tables — the k=3 s=2 forward neighbor table
+    (coarse outputs -> fine inputs) AND its inverse (fine -> coarse slots of
+    the transposed conv) — with ONE merged lax.sort pair via
+    _merge_ranks_multi, instead of the two independent rank-merge sorts of
+    bev_neighbor_idx_sorted + bev_inv_neighbor_idx_sorted (sorts measured
+    ~9 ms/step combined at nuScenes bs8)."""
+    ny, nx = bev_shape
+    cny, cnx = coarse_bev_shape
+    p_in = fine_coords.shape[0]
+
+    # ---- forward-table encodes (bev_neighbor_idx_sorted, stride 2) ----
+    fkey = jnp.where(
+        fine_mask, fine_coords[:, 0] * nx + fine_coords[:, 1], INT_MAX
+    ).astype(jnp.int32)
+    offs = _tap_offsets()
+    base = coarse_coords * 2
+    nb = base[:, None, :] + offs[None]
+    ok_f = (
+        (nb[..., 0] >= 0) & (nb[..., 0] < ny) & (nb[..., 1] >= 0) & (nb[..., 1] < nx)
+    ) & coarse_mask[:, None]
+    kmax_f = ny * nx
+    base_key = coarse_coords[:, 0] * 2 * nx + coarse_coords[:, 1] * 2
+    encs = []
+    for dy in (-1, 0, 1):
+        q = base_key + dy * nx
+        encs.append(jnp.stack([2 * q - 2, 2 * q, 2 * q + 2, 2 * q + 4], axis=1))
+    enc_f = jnp.stack(encs, axis=1)  # (P_out, 3, 4)
+
+    # ---- inverse-table encodes (bev_inv_neighbor_idx_sorted) ----
+    ckey = jnp.where(
+        coarse_mask, coarse_coords[:, 0] * cnx + coarse_coords[:, 1], INT_MAX
+    ).astype(jnp.int32)
+    ioffs = jnp.asarray(
+        [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)], dtype=jnp.int32
+    )
+    num = fine_coords[:, None, :] - (ioffs[None] - 1)
+    integral = (num % 2 == 0).all(axis=-1)
+    o = num // 2
+    ok_i = (
+        integral
+        & (o[..., 0] >= 0) & (o[..., 0] < cny) & (o[..., 1] >= 0) & (o[..., 1] < cnx)
+        & fine_mask[:, None]
+    )
+    kmax_i = cny * cnx
+    fx = fine_coords[:, 1]
+    o0x = (fx - 1) // 2
+    iencs = []
+    for dy in (0, 1, 2):
+        oy = (fine_coords[:, 0] - (dy - 1)) // 2
+        q0 = oy * cnx + o0x
+        iencs.append(jnp.stack([2 * q0, 2 * q0 + 2, 2 * q0 + 4], axis=1))
+    enc_i = jnp.stack(iencs, axis=1)  # (P_f, 3, 3)
+
+    r_f, r_i = _merge_ranks_multi([
+        (fkey, enc_f.reshape(-1), kmax_f),
+        (ckey, enc_i.reshape(-1), kmax_i),
+    ])
+    r_f = r_f.reshape(enc_f.shape)
+    r_i = r_i.reshape(enc_i.shape)
+
+    cols = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        hit = r_f[:, dy, dx + 1] > r_f[:, dy, dx]
+        cols.append(jnp.where(ok_f[:, t] & hit, r_f[:, dy, dx], -1).astype(jnp.int32))
+    nbr = jnp.stack(cols, axis=1)
+
+    icols = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        ox = o[:, t, 1]
+        sel = jnp.clip(ox - o0x, 0, 1)
+        left = jnp.where(sel == 0, r_i[:, dy, 0], r_i[:, dy, 1])
+        right = jnp.where(sel == 0, r_i[:, dy, 1], r_i[:, dy, 2])
+        icols.append(jnp.where(ok_i[:, t] & (right > left), left, -1).astype(jnp.int32))
+    inv = jnp.stack(icols, axis=1)
+    return nbr, inv
 
 
 def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_fine):
