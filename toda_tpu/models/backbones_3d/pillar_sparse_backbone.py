@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops import pallas_fused_conv as pfc
 from ...ops.pillar_sparse import (
     bev_down_tables,
     bev_downsample_sites,
@@ -131,7 +132,7 @@ class MaskedBatchNormT(nn.Module):
     epsilon: float = 1e-3
 
     @nn.compact
-    def __call__(self, x, mask, training=False):
+    def __call__(self, x, mask, training=False, return_affine=False):
         nz, c, mf = x.shape
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
@@ -151,9 +152,34 @@ class MaskedBatchNormT(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        if return_affine:
+            # fused-conv flow: the consumer applies y = x*inv + shift in-VMEM
+            # (stats/averages above are identical to the applied path)
+            return inv, bias - mean * inv
         shift = (bias - mean * inv).astype(in_dtype)
         y = x * inv.astype(in_dtype)[None, :, None] + shift[None, :, None]
         return jnp.where(mask[None, None, :], y, 0.0)
+
+
+def apply_affine_t(flatT, affine, maskf, nz):
+    """Materialize a pending per-channel normalization on a raw transposed
+    tensor: relu(x*scale + shift) (relu iff act), masked. Used at stage
+    outputs / fused-chain boundaries; inner layers consume the affine
+    in-VMEM inside the fused kernel instead."""
+    sc, sh, act = affine
+    c = flatT.shape[0] // nz
+    x3 = flatT.reshape(nz, c, -1)
+    dt = flatT.dtype
+    y = x3 * sc.astype(dt)[None, :, None] + sh.astype(dt)[None, :, None]
+    if act:
+        y = jnp.maximum(y, 0)
+    y = jnp.where(maskf[None, None, :], y, 0)
+    return y.reshape(nz * c, -1)
+
+
+def identity_affine(c):
+    """No-op input normalization (raw first layer): act=False."""
+    return jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32), False
 
 
 class PillarConvLayerT(nn.Module):
@@ -164,18 +190,54 @@ class PillarConvLayerT(nn.Module):
     identity_tap: int = -1  # 4 for stride-1 submanifold convs (center = self)
 
     @nn.compact
-    def __call__(self, flatT, idxf, maskf, training=False, invf=None):
+    def __call__(self, flatT, idxf, maskf, training=False, invf=None,
+                 fused_in=None, in_maskf=None):
+        """Legacy contract (fused_in=None): applied tensor in, applied
+        (bn+relu+masked) tensor out, conv via pillar_conv3d_t + separate BN.
+
+        Fused contract (fused_in=(scale, shift, act)): flatT is the RAW
+        previous conv output whose normalization is still pending; this layer
+        applies it inside the fused gather+conv kernel (no materialized
+        activation pass) and returns (raw_out, (out_scale, out_shift, True))
+        for the next layer. BN statistics/averages are identical either way.
+        in_maskf: input-lane mask (defaults to maskf; differs for stride 2),
+        only needed by the non-fusable fallback's explicit apply."""
         c = flatT.shape[0] // self.nz
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (3, 3, 3, c, self.out_channels),
         )
+        it = self.identity_tap if self.identity_tap >= 0 else None
+        nz_out = -(-self.nz // self.z_stride)
+        if fused_in is not None:
+            can = pfc.fused_ok(flatT.shape, flatT.dtype, c, self.out_channels,
+                               idxf.shape[0], self.nz, self.z_stride)
+            if can:
+                out = pfc.fused_bnconv9_t(
+                    flatT, fused_in[0], fused_in[1], w.astype(flatT.dtype),
+                    idxf, invf, self.nz, self.z_stride, it, fused_in[2],
+                )
+            else:
+                # not fusable (e.g. c % 8 != 0 first layer, CPU tests):
+                # materialize the pending affine, then the tuned legacy conv
+                x = apply_affine_t(
+                    flatT, fused_in,
+                    maskf if in_maskf is None else in_maskf, self.nz,
+                )
+                out = pillar_conv3d_t(
+                    x, idxf, w.astype(x.dtype), maskf, self.nz,
+                    self.z_stride, it, invf,
+                )
+            x3 = out.reshape(nz_out, self.out_channels, -1)
+            sc, sh = MaskedBatchNormT(name="bn")(
+                x3, maskf, training=training, return_affine=True
+            )
+            return out, (sc, sh, self.use_relu)
         out = pillar_conv3d_t(
             flatT, idxf, w.astype(flatT.dtype), maskf, self.nz, self.z_stride,
-            self.identity_tap if self.identity_tap >= 0 else None, invf,
+            it, invf,
         )
-        nz_out = -(-self.nz // self.z_stride)
         x3 = out.reshape(nz_out, self.out_channels, -1)
         x3 = MaskedBatchNormT(name="bn")(x3, maskf, training=training)
         if self.use_relu:
@@ -191,11 +253,18 @@ class PillarSubMBlockT(nn.Module):
     residual: bool = False
 
     @nn.compact
-    def __call__(self, flatT, idxf, maskf, training=False):
+    def __call__(self, flatT, idxf, maskf, training=False, fused_in=None):
         # submanifold conv on the key-sorted set: inverse of tap t is the
         # mirrored tap 8-t on the same table
         invf = idxf[:, ::-1]
         x = flatT
+        if fused_in is not None and not self.residual:
+            aff = fused_in
+            for i in range(self.num_layers):
+                x, aff = PillarConvLayerT(self.out_channels, self.nz,
+                                          identity_tap=4, name=f"subm{i}")(
+                    x, idxf, maskf, training, invf, fused_in=aff)
+            return x, aff
         if self.residual:
             identity = x
             x = PillarConvLayerT(self.out_channels, self.nz, identity_tap=4,
@@ -268,12 +337,28 @@ class _PillarBackboneBase(nn.Module):
         multi_scale = {}
         maskf = mask.reshape(bt * p)
         idxf = subm_tables(coords, mask, bev_shape, p)
-        x = PillarSubMBlockT(chans[0], cur_nz, residual=self.RESIDUAL,
-                             name="stage1")(x, idxf, maskf, training)
+        # fused flow: chain raw activations + pending BN affines through the
+        # layers (BN-apply/relu/halo handled inside the gather+conv kernels);
+        # stage outputs consumed elsewhere get one explicit apply (DCE'd when
+        # unused). Residual blocks keep the legacy applied-tensor flow.
+        use_fused = (
+            bool(self.model_cfg.get("FUSED_CONV", True)) and not self.RESIDUAL
+        )
+        aff = identity_affine(c) if use_fused else None
+        if use_fused:
+            x, aff = PillarSubMBlockT(chans[0], cur_nz, residual=False,
+                                      name="stage1")(
+                x, idxf, maskf, training, fused_in=aff)
+            x1_out = apply_affine_t(x, aff, maskf, cur_nz)
+        else:
+            x = PillarSubMBlockT(chans[0], cur_nz, residual=self.RESIDUAL,
+                                 name="stage1")(x, idxf, maskf, training)
+            x1_out = x
         multi_scale["x_conv1"] = {
-            "features_t": x, "coords": coords, "mask": mask, "stride": 1,
+            "features_t": x1_out, "coords": coords, "mask": mask, "stride": 1,
             "nz": cur_nz, "bt": bt,
         }
+        xs_out = x1_out
 
         stride = 1
         for si, ch in enumerate(chans[1:], start=2):
@@ -289,22 +374,38 @@ class _PillarBackboneBase(nn.Module):
                 )
             )(coords, mask, new_coords, new_mask)
             new_maskf = new_mask.reshape(bt * p_out)
-            x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
-                x, fold_idx(nbr, p_in), new_maskf, training, fold_idx(inv, p_out)
-            )
+            if use_fused:
+                x, aff = PillarConvLayerT(ch, cur_nz, z_stride=2,
+                                          name=f"down{si}")(
+                    x, fold_idx(nbr, p_in), new_maskf, training,
+                    fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf)
+            else:
+                x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
+                    x, fold_idx(nbr, p_in), new_maskf, training,
+                    fold_idx(inv, p_out)
+                )
             coords, mask, maskf = new_coords, new_mask, new_maskf
             bev_shape = coarse_shape
             cur_nz = -(-cur_nz // 2)
             stride *= 2
             idxf = subm_tables(coords, mask, bev_shape, p_out)
-            x = PillarSubMBlockT(ch, cur_nz, residual=self.RESIDUAL,
-                                 name=f"stage{si}")(x, idxf, maskf, training)
+            if use_fused:
+                x, aff = PillarSubMBlockT(ch, cur_nz, residual=False,
+                                          name=f"stage{si}")(
+                    x, idxf, maskf, training, fused_in=aff)
+                xs_out = apply_affine_t(x, aff, maskf, cur_nz)
+            else:
+                x = PillarSubMBlockT(ch, cur_nz, residual=self.RESIDUAL,
+                                     name=f"stage{si}")(x, idxf, maskf, training)
+                xs_out = x
             multi_scale[f"x_conv{si}"] = {
-                "features_t": x, "coords": coords, "mask": mask, "stride": stride,
-                "nz": cur_nz, "bt": bt,
+                "features_t": xs_out, "coords": coords, "mask": mask,
+                "stride": stride, "nz": cur_nz, "bt": bt,
             }
 
         # final stage -> dense BEV tensor (one small transpose)
+        if use_fused:
+            x = xs_out  # applied form of the last stage
         cfin = x.shape[0] // cur_nz
         x4 = x.reshape(cur_nz, cfin, bt, -1).transpose(2, 3, 0, 1)  # (Bt,P,nz,C)
         dense = jax.vmap(lambda f, c_, m_: pillars_to_dense(f, c_, m_, bev_shape))(

@@ -1,0 +1,852 @@
+"""Fully fused BN+ReLU+gather9+conv3x3x3 Pallas kernel (transposed layout).
+
+The r3 profile of the pillar-sparse backbone showed the step time dominated by
+HBM traffic *around* the convs, not the conv math: the stacked 9-tap gather
+materializes a 9x-sized intermediate that the conv immediately re-reads
+(~6.4 GB round trip per stage-1 conv), and each layer pays separate
+elementwise passes for halo-pad, BN-apply, relu and masking. This module
+fuses the whole layer into one kernel each way:
+
+    y_raw = Conv3x3x3( relu( x_raw * scale + shift ) )      [z stride 1 or 2]
+
+  * x_raw is the PREVIOUS layer's raw conv output — BN apply + relu happen
+    in-VMEM on the DMA'd window (3 dy-group windows per block, as in
+    ops/pallas_gather.gather9_stacked_t). The affine row vectors are zero on
+    the z-halo rows, so haloing is free (no pad pass, no scratch zero-init).
+  * The conv itself runs as BANDED Z-GROUP MXU contractions: zg output
+    z-slabs are batched into the dot's M dimension (zg*cout = 128) against a
+    static block-banded weight matrix, contracting K = (z_stride*(zg-1)+3)*c
+    gathered rows per tap. No value transposes anywhere — the failure mode
+    that made the earlier gather9_conv_t fusion 0.85x.
+  * Backward mirrors forward: gy is window-gathered by the INVERSE tables,
+    contracted with the transposed band, multiplied by the recomputed relu
+    mask; dW accumulates in-kernel as per-tap (zg2*c, K2*cout) lane
+    contractions summed over blocks and z-groups (band entries extracted
+    outside). d(scale)/d(shift) are cheap XLA reductions over the kernel's
+    g_relu output.
+
+Replaces (when shapes allow) the gather9_stacked_t + XLA-conv + BN/relu/mask
+pipeline of ops/pillar_sparse.pillar_conv3d_t. Reference semantics:
+spconv.SubMConv3d / SparseConv3d application in
+pcdet/models/backbones_3d/spconv_backbone.py (rulebook gather-GEMM-scatter),
+re-expressed TPU-first; BN+ReLU correspond to the norm_fn+relu in each
+SparseSequential block there.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_gather as _pg
+
+INT_MAX = np.iinfo(np.int32).max
+
+NBUF = 2
+BLOCK = 256  # output-block lanes, stride-1 (== pallas_gather.BLOCK_T)
+BLOCK_DOWN = 128  # stride-2 forward: smaller blocks keep windows in VMEM
+SPAN_SUBM = 512  # window lanes, stride-1 (identical sets, slope-1 streams)
+SPAN_DOWN = 640  # stride-2 fwd @128 lanes: stream advances ~4 lanes/output
+SPAN_BWD_DOWN = 512  # stride-2 backward: coarse stream, slope ~1/4
+
+INTERPRET = False
+# debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
+# results if a window would overflow), 2 = always take the XLA reference
+FORCE_PATH = int(os.environ.get("TODA_FUSED_FORCE_PATH", "0"))
+
+
+# --------------------------------------------------------------------------
+# static banded weights
+# --------------------------------------------------------------------------
+
+
+def fwd_group_size(cout):
+    """zg: output z-slabs per band dot, so zg*cout ~ 128 (the MXU M dim)."""
+    return max(1, 128 // cout)
+
+
+def bwd_group_size(c, z_stride):
+    zg2 = max(1, 128 // c)
+    if z_stride == 2 and zg2 % 2:
+        zg2 += 1  # group offsets must be affine in g (even zg2)
+    return zg2
+
+
+def fwd_band_slabs(zg, z_stride):
+    return z_stride * (zg - 1) + 3
+
+
+def bwd_band_slabs(zg2, z_stride):
+    return zg2 + 2 if z_stride == 1 else zg2 // 2 + 1
+
+
+def band_fwd_weights(w, zg, z_stride):
+    """(3,3,3,c,cout) (dz,dy,dx) -> (9, Kslabs*c, zg*cout) banded.
+
+    Band block for (output slab k, dz): rows (z_stride*k+dz)*c..+c, cols
+    k*cout..+cout — output zo of group g reads haloed input slabs
+    z_stride*zo + dz with the group's buffer window starting at haloed slab
+    z_stride*g*zg."""
+    c, cout = w.shape[3], w.shape[4]
+    ks = fwd_band_slabs(zg, z_stride)
+    out = jnp.zeros((9, ks * c, zg * cout), w.dtype)
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        for k in range(zg):
+            for dz in range(3):
+                r = (z_stride * k + dz) * c
+                out = out.at[t, r : r + c, k * cout : (k + 1) * cout].set(
+                    w[dz, dy, dx]
+                )
+    return out
+
+
+def _bwd_slab_pairs(zg2, z_stride):
+    """(k, dz) -> gy-buffer slab index within a backward z-group, or None.
+
+    Forward: output zo consumes haloed input slab z_stride*zo + dz, i.e.
+    unpadded zi = z_stride*zo + dz - 1. Backward group g covers
+    zi = g*zg2 + k; the gathered-gy buffer is top-haloed by one zero slab iff
+    stride 1 (slab h = zo + 1), un-haloed for stride 2 (slab h = zo), and the
+    group's window starts at slab g*zg2 (stride 1) / g*zg2//2 (stride 2)."""
+    pairs = {}
+    for k in range(zg2):
+        for dz in range(3):
+            num = k + 1 - dz  # z_stride * zo_rel for the in-group zi = k
+            if z_stride == 1:
+                pairs[(k, dz)] = k + 2 - dz
+            else:
+                pairs[(k, dz)] = num // 2 if (num % 2 == 0 and num >= 0) else None
+    return pairs
+
+
+def band_bwd_weights(w, zg2, z_stride):
+    """(3,3,3,c,cout) -> (9, K2slabs*cout, zg2*c) transposed band: the
+    features-cotangent contraction g_pre = sum_t Wback_t^T . gathered-gy
+    (see _bwd_slab_pairs for the slab mapping)."""
+    c, cout = w.shape[3], w.shape[4]
+    k2 = bwd_band_slabs(zg2, z_stride)
+    out = jnp.zeros((9, k2 * cout, zg2 * c), w.dtype)
+    pairs = _bwd_slab_pairs(zg2, z_stride)
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        for k in range(zg2):
+            for dz in range(3):
+                sl = pairs[(k, dz)]
+                if sl is None or sl < 0 or sl >= k2:
+                    continue
+                r = sl * cout
+                out = out.at[t, r : r + cout, k * c : (k + 1) * c].set(
+                    w[dz, dy, dx].T
+                )
+    return out
+
+
+def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
+    """dwacc (9, zg2*c, K2slabs*cout) f32 -> dW (3,3,3,c,cout).
+
+    dwacc_t holds, summed over blocks and z-groups, the lane contraction of
+    xb group rows against gathered-gy group rows; the (k, dz) band cells are
+    the conv-weight gradients, off-band cells unused cross terms."""
+    pairs = _bwd_slab_pairs(zg2, z_stride)
+    k2 = bwd_band_slabs(zg2, z_stride)
+    dw = jnp.zeros((3, 3, 3, c, cout), jnp.float32)
+    for dz in range(3):
+        acc = None
+        for k in range(zg2):
+            sl = pairs[(k, dz)]
+            if sl is None or sl < 0 or sl >= k2:
+                continue
+            blk = dwacc[:, k * c : (k + 1) * c, sl * cout : (sl + 1) * cout]
+            acc = blk if acc is None else acc + blk
+        if acc is not None:
+            dw = dw.at[dz].set(acc.reshape(3, 3, c, cout))
+    return dw.astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# prologue (slim li: no 8-sublane replication)
+# --------------------------------------------------------------------------
+
+
+def _prologue(idx, n, span, block=BLOCK):
+    """idx (M, 9) folded tap tables -> meta (nblk, 21), li (nblk, 9, 1, B),
+    overflow. Same dy-group window math as pallas_gather._stacked_prologue,
+    but li is NOT sublane-replicated (8x less metadata traffic)."""
+    m = idx.shape[0]
+    nblk = m // block
+    blk = idx.reshape(nblk, block, 9)
+    valid = blk >= 0
+    los, lis, vlis = [], [], []
+    overflow = jnp.zeros((), bool)
+    for g in range(3):
+        grp = blk[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
+        gv = valid[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
+        lo = jnp.min(jnp.where(gv, grp, INT_MAX), axis=1)
+        lo = jnp.where(lo == INT_MAX, 0, lo)
+        lo = (lo // 128) * 128
+        lo = jnp.minimum(lo, ((n - span) // 128) * 128).astype(jnp.int32)
+        vli = grp - lo[:, None]
+        overflow = overflow | jnp.any(gv & (vli >= span))
+        li = jnp.where(gv, jnp.clip(vli, 0, span), span).astype(jnp.int32)
+        los.append(lo)
+        lis.append(li.reshape(nblk, block, 3))
+        vlis.append(vli.reshape(nblk, block, 3))
+    lo3 = jnp.stack(los, axis=1)
+    li9 = jnp.concatenate(lis, axis=2)  # (nblk, B, 9)
+    li4 = li9.transpose(0, 2, 1)[:, :, None, :]  # (nblk, 9, 1, B)
+    smin, smax = _pg._sub_ranges(
+        jnp.concatenate(vlis, axis=2), valid.reshape(nblk, block, 9), span
+    )
+    meta = jnp.concatenate([lo3, smin, smax], axis=1)  # (nblk, 21)
+    return meta, li4, overflow
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
+                out_ref, win, gbuf, acc, sem):
+    """Scratch `win` rows live in the z-HALOED row space (haloed slab h =
+    unpadded z + 1); DMA fills rows [c, c+nz_in*c); the affine row vectors
+    are zero outside that range, so halo/pad rows become exact zeros without
+    any scratch initialization."""
+    c, cout = cfg["c"], cfg["cout"]
+    zg, s = cfg["zg"], cfg["z_stride"]
+    identity = cfg["identity"]
+    w0 = cfg["nz_in"] * c
+    ng = cfg["nzp_out"] // zg
+    ks = fwd_band_slabs(zg, s)
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, whalo, span = win.shape
+    nsub = span // 128
+
+    def start(blk, slot):
+        for g in range(3):
+            off = pl.multiple_of(meta_ref[blk, g], 128)
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(off, span)],
+                win.at[slot, g, pl.ds(c, w0)],
+                sem.at[slot, g],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        # zero the halo/pad window rows once (never DMA'd, so zeros persist;
+        # uninitialized VMEM could hold NaN bit patterns, and 0*NaN != 0)
+        for b in range(nbuf):
+            for g in range(3):
+                win[b, g, pl.ds(0, c)] = jnp.zeros((c, span), win.dtype)
+                nrest = whalo - c - w0
+                if nrest:
+                    win[b, g, pl.ds(c + w0, nrest)] = jnp.zeros(
+                        (nrest, span), win.dtype
+                    )
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    for g in range(3):
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), span)],
+            win.at[slot, g, pl.ds(c, w0)],
+            sem.at[slot, g],
+        ).wait()
+
+    # BN + relu in place on the three windows (scale/shift rows are zero on
+    # halo and pad rows so those stay exactly zero). Dynamic leading-index
+    # access on scratch faults on Mosaic -> predicate per buffer slot.
+    sc = sc_ref[:]  # (whalo, 1)
+    sh = sh_ref[:]
+    for b in range(NBUF):
+        @pl.when(slot == b)
+        def _(b=b):
+            for g in range(3):
+                y = win[b, g] * sc + sh
+                if cfg["act"]:
+                    y = jnp.maximum(y, 0)
+                win[b, g] = y
+
+    li = li_ref[0]  # (9, 1, B)
+    bsz = out_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
+
+    for t in range(9):
+        if t == identity:
+            xb = xblk_ref[:] * sc[c : c + w0] + sh[c : c + w0]
+            if cfg["act"]:
+                xb = jnp.maximum(xb, 0)
+            gbuf[pl.ds(c, w0)] = xb
+            gbuf[pl.ds(0, c)] = jnp.zeros((c, bsz), gbuf.dtype)
+            nrest = whalo - c - w0
+            gbuf[pl.ds(c + w0, nrest)] = jnp.zeros((nrest, bsz), gbuf.dtype)
+        else:
+            g = t // 3
+            smin = meta_ref[i, 3 + t]
+            smax = meta_ref[i, 12 + t]
+            onehot = (iota == li[t]).astype(gbuf.dtype)
+            for b in range(NBUF):
+                for sub in range(nsub):
+                    oh = onehot[sub * 128 : (sub + 1) * 128]
+
+                    @pl.when((slot == b) & (smin == sub))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] = jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+
+                    @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] += jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+        # band dots: z-group gz reads gathered haloed rows from slab s*gz*zg
+        for gz in range(ng):
+            r0 = s * gz * zg * c
+            gsl = gbuf[pl.ds(r0, ks * c)]
+            contrib = jax.lax.dot_general(
+                wb_ref[t], gsl,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (zg*cout, B)
+            if t == 0:
+                acc[pl.ds(gz * zg * cout, zg * cout)] = contrib
+            else:
+                acc[pl.ds(gz * zg * cout, zg * cout)] += contrib
+    out_ref[:, :] = acc[:, :].astype(out_ref.dtype)
+
+
+def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
+    w0, n = x.shape
+    blk = cfg["blk_fwd"]
+    nblk = m // blk
+    c, cout = cfg["c"], cfg["cout"]
+    whalo, span = cfg["whalo"], cfg["span"]
+    nzp_out = cfg["nzp_out"]
+    ks = fwd_band_slabs(cfg["zg"], cfg["z_stride"])
+    identity = cfg["identity"]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # src table (manual DMA)
+        pl.BlockSpec((1, 9, 1, blk), lambda i, mt: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, ks * c, cfg["zg"] * cout), lambda i, mt: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [meta, x, li4, sc_h, sh_h, wband]
+    if identity is not None:
+        in_specs.append(
+            pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(x)
+
+    def kern(meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, *rest):
+        if identity is not None:
+            xblk_ref = rest[0]
+            rest = rest[1:]
+        else:
+            xblk_ref = None
+        out_ref, win, gbuf, acc, sem = rest
+        _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref,
+                    xblk_ref, out_ref, win, gbuf, acc, sem)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nzp_out * cout, blk), lambda i, mt: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, whalo, span), x.dtype),
+            pltpu.VMEM((whalo, blk), x.dtype),
+            pltpu.VMEM((nzp_out * cout, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((nzp_out * cout, m), x.dtype),
+        interpret=INTERPRET,
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
+                gyblk_ref, gout_ref, dw_ref, win, gbuf, acc, xbb, sem):
+    """Gathers gy (the conv output cotangent) by the INVERSE tables, applies
+    the transposed band to produce the pre-activation cotangent, multiplies
+    by the recomputed relu mask, and accumulates per-tap dW outer products.
+
+    Window scratch rows: haloed gy space (slab h = zo + ht, ht = 1 for
+    stride 1, 0 for stride 2); DMA fills rows [ht*cout, ht*cout + nz_out*cout);
+    the rest is zero-initialized once at i == 0 (disjoint from DMA rows)."""
+    c, cout = cfg["c"], cfg["cout"]
+    zg2, s = cfg["zg2"], cfg["z_stride"]
+    w2 = cfg["nz_out"] * cout
+    w0 = cfg["nz_in"] * c
+    identity = cfg["identity"]
+    ht = 1 if s == 1 else 0
+    k2 = bwd_band_slabs(zg2, s)
+    ng2 = cfg["nzp_in"] // zg2
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, whalo2, span = win.shape
+    nsub = span // 128
+
+    @pl.when(i == 0)
+    def _():
+        # zero halo/pad rows (never DMA'd; disjoint from in-flight DMA rows)
+        if ht:
+            for b in range(nbuf):
+                for g in range(3):
+                    win[b, g, pl.ds(0, ht * cout)] = jnp.zeros(
+                        (ht * cout, span), win.dtype
+                    )
+        nrest = whalo2 - ht * cout - w2
+        if nrest:
+            for b in range(nbuf):
+                for g in range(3):
+                    win[b, g, pl.ds(ht * cout + w2, nrest)] = jnp.zeros(
+                        (nrest, span), win.dtype
+                    )
+        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        # pad rows of the xb block buffer (beyond nz_in*c) stay zero
+        nxrest = xbb.shape[0] - w0
+        if nxrest:
+            xbb[pl.ds(w0, nxrest)] = jnp.zeros((nxrest, xbb.shape[1]), xbb.dtype)
+
+    def start(blk, slot):
+        for g in range(3):
+            off = pl.multiple_of(meta_ref[blk, g], 128)
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(off, span)],
+                win.at[slot, g, pl.ds(ht * cout, w2)],
+                sem.at[slot, g],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    for g in range(3):
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), span)],
+            win.at[slot, g, pl.ds(ht * cout, w2)],
+            sem.at[slot, g],
+        ).wait()
+
+    bsz = gout_ref.shape[1]
+    # recompute xb = relu(bn(x)) for the dW products, and the relu mask
+    xr = xblk_ref[:]
+    sc = sc_ref[:]
+    sh = sh_ref[:]
+    pre = xr * sc + sh
+    if cfg["act"]:
+        xb = jnp.maximum(pre, 0)
+        # bf16 cmpf is unsupported on some TPU targets: compare in f32
+        relu_m = (pre.astype(jnp.float32) > 0).astype(xr.dtype)
+    else:
+        xb = pre  # scale/shift are identity when act is off
+        relu_m = None
+    xbb[pl.ds(0, w0)] = xb
+
+    li = li_ref[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
+
+    for t in range(9):
+        if t == identity:
+            # inverse of the center tap is the identity map: gy's own block,
+            # masked by tap validity (li == span marks invalid lanes)
+            vm = (li[t] != span).astype(gbuf.dtype)  # (1, B)
+            gbuf[pl.ds(ht * cout, w2)] = gyblk_ref[:] * vm
+            if ht:
+                gbuf[pl.ds(0, ht * cout)] = jnp.zeros((ht * cout, bsz),
+                                                      gbuf.dtype)
+            nrest = whalo2 - ht * cout - w2
+            if nrest:
+                gbuf[pl.ds(ht * cout + w2, nrest)] = jnp.zeros((nrest, bsz),
+                                                               gbuf.dtype)
+        else:
+            g = t // 3
+            smin = meta_ref[i, 3 + t]
+            smax = meta_ref[i, 12 + t]
+            onehot = (iota == li[t]).astype(gbuf.dtype)
+            for b in range(NBUF):
+                for sub in range(nsub):
+                    oh = onehot[sub * 128 : (sub + 1) * 128]
+
+                    @pl.when((slot == b) & (smin == sub))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] = jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+
+                    @pl.when((slot == b) & (smin < sub) & (sub <= smax))
+                    def _(b=b, g=g, sub=sub, oh=oh):
+                        gbuf[:, :] += jnp.dot(
+                            win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(gbuf.dtype)
+        goff = zg2 if s == 1 else zg2 // 2
+        for gz in range(ng2):
+            gsl = gbuf[pl.ds(gz * goff * cout, k2 * cout)]
+            contrib = jax.lax.dot_general(
+                wb_ref[t], gsl,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (zg2*c, B)
+            if t == 0:
+                acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
+            else:
+                acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
+            # dW: xb group rows (x) gy-buffer group rows, contracted over lanes
+            xsl = xbb[pl.ds(gz * zg2 * c, zg2 * c)]
+            dcon = jax.lax.dot_general(
+                xsl, gsl,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (zg2*c, K2*cout)
+            dw_ref[t, :, :] += dcon
+
+    gpre = acc[pl.ds(0, w0)]
+    if cfg["act"]:
+        gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
+            gout_ref.dtype
+        )
+    else:
+        gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
+
+
+def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
+    """gy (nz_out*cout, Mf_out) padded to haloed DMA space by the kernel;
+    x (nz_in*c, Mf_in). Output g_relu (nzp_in*c, Mf_in) + dwacc."""
+    w2, n_out = gy.shape
+    blk = cfg["blk_bwd"]
+    nblk = m_in // blk
+    c, cout = cfg["c"], cfg["cout"]
+    whalo2, span = cfg["whalo2"], cfg["span_bwd"]
+    nzp_in = cfg["nzp_in"]
+    zg2 = cfg["zg2"]
+    k2 = bwd_band_slabs(zg2, cfg["z_stride"])
+    w0 = cfg["nz_in"] * c
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # gy table
+        pl.BlockSpec((1, 9, 1, blk), lambda i, mt: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w0, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w0, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [meta, gy, li4, sc_x, sh_x, wback, x]
+    identity = cfg["identity"]
+    if identity is not None:
+        in_specs.append(
+            pl.BlockSpec((w2, blk), lambda i, mt: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(gy)
+
+    def kern(meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref, *rest):
+        if identity is not None:
+            gyblk_ref = rest[0]
+            rest = rest[1:]
+        else:
+            gyblk_ref = None
+        gout_ref, dw_ref, win, gbuf, acc, xbb, sem = rest
+        _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref,
+                    xblk_ref, gyblk_ref, gout_ref, dw_ref, win, gbuf, acc,
+                    xbb, sem)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((nzp_in * c, blk), lambda i, mt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, zg2 * c, k2 * cout), lambda i, mt: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
+            pltpu.VMEM((whalo2, blk), gy.dtype),
+            pltpu.VMEM((nzp_in * c, blk), jnp.float32),
+            pltpu.VMEM((nzp_in * c, blk), gy.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=gs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nzp_in * c, m_in), gy.dtype),
+            jax.ShapeDtypeStruct((9, zg2 * c, k2 * cout), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# pure-XLA reference (CPU / fallback / oracle)
+# --------------------------------------------------------------------------
+
+
+def _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act):
+    """Differentiable reference: relu(bn(x)) -> 9 tap gathers -> z-convs.
+
+    x (nz_in*c, Mf_in); scale/shift (c,); w (3,3,3,c,cout); idxf (Mf_out, 9).
+    Returns (nz_out*cout, Mf_out)."""
+    mf = x.shape[1]
+    c = x.shape[0] // nz_in
+    cout = w.shape[-1]
+    m_out = idxf.shape[0]
+    x3 = x.reshape(nz_in, c, mf)
+    if act:
+        sc = scale.astype(x.dtype)[None, :, None]
+        sh = shift.astype(x.dtype)[None, :, None]
+        x3 = jax.nn.relu(x3 * sc + sh)
+    halo = jnp.pad(x3, ((1, 1), (0, 0), (0, 0))).reshape((nz_in + 2) * c, mf)
+    acc = None
+    for t in range(9):
+        g = _pg._xla_gather_t(halo, idxf[:, t])
+        contrib = jax.lax.conv_general_dilated(
+            g.reshape(nz_in + 2, c, m_out),
+            w[:, t // 3, t % 3],
+            window_strides=(z_stride,),
+            padding="VALID",
+            dimension_numbers=("WCN", "WIO", "WCN"),
+        )
+        acc = contrib if acc is None else acc + contrib
+    nz_out = -(-nz_in // z_stride)
+    return acc.reshape(nz_out * cout, m_out).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# public op with custom VJP
+# --------------------------------------------------------------------------
+
+
+def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap):
+    zg = fwd_group_size(cout)
+    nz_out = -(-nz_in // z_stride)
+    nzp_out = -(-nz_out // zg) * zg
+    whalo = (z_stride * (nzp_out - 1) + 3) * c
+    zg2 = bwd_group_size(c, z_stride)
+    nzp_in = -(-nz_in // zg2) * zg2
+    goff = zg2 if z_stride == 1 else zg2 // 2
+    whalo2 = ((nzp_in // zg2 - 1) * goff + bwd_band_slabs(zg2, z_stride)) * cout
+    return dict(
+        c=c, cout=cout, nz_in=nz_in, nz_out=nz_out, nzp_out=nzp_out,
+        nzp_in=nzp_in, zg=zg, zg2=zg2, z_stride=z_stride, act=act,
+        identity=identity_tap, whalo=whalo, whalo2=whalo2,
+        span=SPAN_SUBM if z_stride == 1 else SPAN_DOWN,
+        span_bwd=SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN,
+        blk_fwd=BLOCK if z_stride == 1 else BLOCK_DOWN,
+        blk_bwd=BLOCK,
+    )
+
+
+def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride):
+    """Static gate for the fused kernel path."""
+    if INTERPRET:
+        pass
+    elif jax.default_backend() == "cpu" or dtype != jnp.bfloat16:
+        return False
+    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None)
+    m_in = x_shape[1]
+    eb = 2  # bf16 element bytes
+    w0, w2 = nz_in * c, cfg["nz_out"] * cout
+    # scoped-VMEM estimate vs the 16 MB default limit: DMA windows + gather
+    # buffer + f32 accumulator + double-buffered in/out blocks (Mosaic
+    # pipelines each block spec x2)
+    bf = cfg["blk_fwd"]
+    fwd_vmem = (
+        NBUF * 3 * cfg["whalo"] * cfg["span"] * eb
+        + cfg["whalo"] * bf * eb
+        + cfg["nzp_out"] * cout * bf * 4
+        + 2 * (cfg["nzp_out"] * cout + w0) * bf * eb  # out + identity xblk
+    )
+    bb = cfg["blk_bwd"]
+    k2 = bwd_band_slabs(cfg["zg2"], z_stride)
+    bwd_vmem = (
+        NBUF * 3 * cfg["whalo2"] * cfg["span_bwd"] * eb
+        + cfg["whalo2"] * bb * eb
+        + cfg["nzp_in"] * c * bb * (4 + eb)  # f32 acc + xbb
+        + 2 * (cfg["nzp_in"] * c + w0 + w2) * bb * eb  # gout + xblk + gyblk
+        + 2 * 9 * cfg["zg2"] * c * k2 * cout * 4  # dwacc out
+    )
+    return (
+        c % 8 == 0
+        and cout % 8 == 0
+        and m_in % cfg["blk_bwd"] == 0
+        and m_out % cfg["blk_fwd"] == 0
+        and m_in >= cfg["span"]
+        and m_out >= cfg["span_bwd"]
+        and cfg["whalo"] <= 1024
+        and cfg["whalo2"] <= 1024
+        and fwd_vmem <= 14 * 2**20
+        and bwd_vmem <= 14 * 2**20
+    )
+
+
+def _affine_rows(scale, shift, nrows, c, row0, nreal, dtype):
+    """Tile per-channel (c,) vectors over rows [row0, row0+nreal), zeros
+    elsewhere -> (nrows, 1) column vectors for the kernel's window affine."""
+    nz = nreal // c
+    sc = jnp.tile(scale.astype(dtype), nz)
+    sh = jnp.tile(shift.astype(dtype), nz)
+    sc = jnp.pad(sc, (row0, nrows - row0 - nreal))
+    sh = jnp.pad(sh, (row0, nrows - row0 - nreal))
+    return sc[:, None], sh[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_core(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
+                identity_tap):
+    return _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
+                           identity_tap)
+
+
+def _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
+                    identity_tap):
+    c = x.shape[0] // nz_in
+    cout = w.shape[-1]
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    m_out = idxf.shape[0]
+    meta, li4, overflow = _prologue(idxf, x.shape[1], cfg["span"],
+                                    cfg["blk_fwd"])
+    sc_h, sh_h = _affine_rows(scale, shift, cfg["whalo"], c, c, nz_in * c,
+                              x.dtype)
+    wband = band_fwd_weights(w, cfg["zg"], z_stride).astype(x.dtype)
+    w2 = cfg["nz_out"] * cout
+
+    def fast():
+        y = _call_fwd(x, sc_h, sh_h, wband, meta, li4, m_out, cfg)
+        return y[:w2] if cfg["nzp_out"] != cfg["nz_out"] else y
+
+    def slow():
+        return _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act)
+
+    if FORCE_PATH == 1:
+        return fast()
+    if FORCE_PATH == 2:
+        return slow()
+    return jax.lax.cond(overflow, slow, fast)
+
+
+def _fused_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
+                   identity_tap):
+    y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
+                        identity_tap)
+    return y, (x, scale, shift, w, idxf, invf)
+
+
+def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
+    x, scale, shift, w, idxf, invf = res
+    c = x.shape[0] // nz_in
+    cout = w.shape[-1]
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    m_in = x.shape[1]
+    w0 = nz_in * c
+    gy = gy.astype(x.dtype)
+    meta2, li42, ovf2 = _prologue(invf, gy.shape[1], cfg["span_bwd"],
+                                  cfg["blk_bwd"])
+
+    def fast():
+        wback = band_bwd_weights(w, cfg["zg2"], z_stride).astype(x.dtype)
+        sc_x, sh_x = _affine_rows(scale, shift, w0, c, 0, w0, x.dtype)
+        g_relu, dwacc = _call_bwd(gy, x, sc_x, sh_x, wback, meta2, li42,
+                                  m_in, cfg)
+        g_relu = g_relu[:w0] if cfg["nzp_in"] * c != w0 else g_relu
+        dw = extract_dw(dwacc, c, cout, cfg["zg2"], z_stride, w.dtype)
+        if act:
+            scr = jnp.tile(scale.astype(x.dtype), nz_in)[:, None]
+            dx = g_relu * scr
+            g3 = g_relu.astype(jnp.float32).reshape(nz_in, c, m_in)
+            x3 = x.astype(jnp.float32).reshape(nz_in, c, m_in)
+            dscale = (g3 * x3).sum(axis=(0, 2)).astype(scale.dtype)
+            dshift = g3.sum(axis=(0, 2)).astype(shift.dtype)
+        else:
+            dx = g_relu
+            dscale = jnp.zeros_like(scale)
+            dshift = jnp.zeros_like(shift)
+        return dx.astype(x.dtype), dscale, dshift, dw
+
+    def slow():
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_, w_: _ref_fwd(x_, s_, b_, w_, idxf, nz_in,
+                                            z_stride, act),
+            x, scale, shift, w,
+        )
+        return vjp(gy)
+
+    if FORCE_PATH == 1:
+        dx, dscale, dshift, dw = fast()
+    elif FORCE_PATH == 2:
+        dx, dscale, dshift, dw = slow()
+    else:
+        dx, dscale, dshift, dw = jax.lax.cond(ovf2, slow, fast)
+    return dx, dscale, dshift, dw, None, None
+
+
+_fused_core.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
+                    identity_tap=None, act=True):
+    """Fused relu(x*scale+shift) -> 3x3x3 sparse conv, transposed layout.
+
+    Args:
+        x: (nz_in*C, Mf_in) RAW activations (pre-BN), z-major rows,
+            batch-folded pillars in lanes. NOT halo-padded.
+        scale, shift: (C,) BN apply vectors (inference-form affine; the
+            caller derives them from batch or running statistics). Pass
+            ones/zeros with act=False for the un-normalized first layer.
+        weights: (3, 3, 3, C, Cout), (dz, dy, dx) order.
+        idxf / invf: (Mf_out, 9) / (Mf_in, 9) folded forward/inverse tap
+            tables (-1 = missing), as produced by the pillar backbones.
+        nz_in: input z cells (static). z_stride: 1 or 2.
+        identity_tap: 4 for stride-1 submanifold convs (center = self).
+        act: apply the affine+relu input activation (False for raw inputs).
+    Returns y_raw (nz_out*Cout, Mf_out) — unmasked, un-normalized; invalid
+    lanes carry unspecified values (taps never read them; consumers mask).
+
+    Differentiable in (x, scale, shift, weights). Falls back to the pure-XLA
+    reference when the static gate fails or a window overflows at runtime.
+    """
+    c = x.shape[0] // nz_in
+    cout = weights.shape[-1]
+    if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride):
+        return _ref_fwd(x, scale, shift, weights, idxf, nz_in, z_stride, act)
+    return _fused_core(x, scale, shift, weights, idxf, invf, nz_in, z_stride,
+                       act, identity_tap)
