@@ -57,6 +57,20 @@ INTERPRET = False
 # debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
 # results if a window would overflow), 2 = always take the XLA reference
 FORCE_PATH = int(os.environ.get("TODA_FUSED_FORCE_PATH", "0"))
+# 1 = wide-gather forward: ONE full-span dot per dy-group against the
+# group's taps' one-hots concatenated along lanes (no subwindow predication,
+# no cross-sub VMEM accumulation); 0 = legacy per-tap sub-dot loop
+WIDE_FWD = int(os.environ.get("TODA_FUSED_WIDE", "1"))
+
+
+def _fwd_slots(identity):
+    """Tap -> gbuf lane-slot. Non-identity taps keep t order (so each
+    dy-group's slots are contiguous for the wide group dot); identity last."""
+    taps = [t for t in range(9) if t != identity]
+    slot = {t: k for k, t in enumerate(taps)}
+    if identity is not None:
+        slot[identity] = 8
+    return slot
 
 
 # --------------------------------------------------------------------------
@@ -280,6 +294,59 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     li = li_ref[0]  # (9, 1, B)
     bsz = out_ref.shape[1]
+
+    if WIDE_FWD:
+        # Wide-gather path: per dy-group, ONE full-span dot against the
+        # group's taps' one-hots concatenated along lanes. Trades ~1.6x raw
+        # gather MACs (no subwindow predication) for ~7x fewer MXU issues and
+        # zero cross-sub VMEM read-modify-write accumulation — the measured
+        # bottleneck of the sub-dot loop (kernel is MXU-issue-bound, window
+        # DMA runs at ~690 GB/s).
+        slot_of = _fwd_slots(identity)
+        if identity is not None:
+            s8 = slot_of[identity] * bsz
+            xb = xblk_ref[:] * sc[c : c + w0] + sh[c : c + w0]
+            if cfg["act"]:
+                xb = jnp.maximum(xb, 0)
+            gbuf[pl.ds(c, w0), pl.ds(s8, bsz)] = xb
+            gbuf[pl.ds(0, c), pl.ds(s8, bsz)] = jnp.zeros((c, bsz), gbuf.dtype)
+            nrest = whalo - c - w0
+            gbuf[pl.ds(c + w0, nrest), pl.ds(s8, bsz)] = jnp.zeros(
+                (nrest, bsz), gbuf.dtype
+            )
+        gstart = 0
+        for g in range(3):
+            ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
+            wdt = len(ts) * bsz
+            licat = jnp.concatenate([li[t] for t in ts], axis=-1)  # (1, wdt)
+            giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
+            oh = (giota == licat).astype(gbuf.dtype)
+            for b in range(NBUF):
+
+                @pl.when(slot == b)
+                def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
+                    gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
+                        win[b, g], oh, preferred_element_type=jnp.float32
+                    ).astype(gbuf.dtype)
+
+            gstart += wdt
+        for t in range(9):
+            soff = slot_of[t] * bsz
+            for gz in range(ng):
+                r0 = s * gz * zg * c
+                gsl = gbuf[pl.ds(r0, ks * c), pl.ds(soff, bsz)]
+                contrib = jax.lax.dot_general(
+                    wb_ref[t], gsl,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if t == 0:
+                    acc[pl.ds(gz * zg * cout, zg * cout)] = contrib
+                else:
+                    acc[pl.ds(gz * zg * cout, zg * cout)] += contrib
+        out_ref[:, :] = acc[:, :].astype(out_ref.dtype)
+        return
+
     iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
 
     for t in range(9):
@@ -373,7 +440,7 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, whalo, span), x.dtype),
-            pltpu.VMEM((whalo, blk), x.dtype),
+            pltpu.VMEM((whalo, 9 * blk if WIDE_FWD else blk), x.dtype),
             pltpu.VMEM((nzp_out * cout, blk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
@@ -477,6 +544,69 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     xbb[pl.ds(0, w0)] = xb
 
     li = li_ref[0]
+
+    if WIDE_FWD:
+        # wide-gather path (see _fwd_kernel): one full-span dot per dy-group
+        slot_of = _fwd_slots(identity)
+        if identity is not None:
+            s8 = slot_of[identity] * bsz
+            vm = (li[identity] != span).astype(gbuf.dtype)  # (1, B)
+            gbuf[pl.ds(ht * cout, w2), pl.ds(s8, bsz)] = gyblk_ref[:] * vm
+            if ht:
+                gbuf[pl.ds(0, ht * cout), pl.ds(s8, bsz)] = jnp.zeros(
+                    (ht * cout, bsz), gbuf.dtype
+                )
+            nrest = whalo2 - ht * cout - w2
+            if nrest:
+                gbuf[pl.ds(ht * cout + w2, nrest), pl.ds(s8, bsz)] = jnp.zeros(
+                    (nrest, bsz), gbuf.dtype
+                )
+        gstart = 0
+        for g in range(3):
+            ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
+            wdt = len(ts) * bsz
+            licat = jnp.concatenate([li[t] for t in ts], axis=-1)  # (1, wdt)
+            giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
+            oh = (giota == licat).astype(gbuf.dtype)
+            for b in range(NBUF):
+
+                @pl.when(slot == b)
+                def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
+                    gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
+                        win[b, g], oh, preferred_element_type=jnp.float32
+                    ).astype(gbuf.dtype)
+
+            gstart += wdt
+        goff = zg2 if s == 1 else zg2 // 2
+        for t in range(9):
+            soff = slot_of[t] * bsz
+            for gz in range(ng2):
+                gsl = gbuf[pl.ds(gz * goff * cout, k2 * cout), pl.ds(soff, bsz)]
+                contrib = jax.lax.dot_general(
+                    wb_ref[t], gsl,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (zg2*c, B)
+                if t == 0:
+                    acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
+                else:
+                    acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
+                xsl = xbb[pl.ds(gz * zg2 * c, zg2 * c)]
+                dcon = jax.lax.dot_general(
+                    xsl, gsl,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (zg2*c, K2*cout)
+                dw_ref[t, :, :] += dcon
+        gpre = acc[pl.ds(0, w0)]
+        if cfg["act"]:
+            gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
+                gout_ref.dtype
+            )
+        else:
+            gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
+        return
+
     iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
 
     for t in range(9):
@@ -599,7 +729,7 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
-            pltpu.VMEM((whalo2, blk), gy.dtype),
+            pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
             pltpu.VMEM((nzp_in * c, blk), jnp.float32),
             pltpu.VMEM((nzp_in * c, blk), gy.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
@@ -692,7 +822,7 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride):
     bf = cfg["blk_fwd"]
     fwd_vmem = (
         NBUF * 3 * cfg["whalo"] * cfg["span"] * eb
-        + cfg["whalo"] * bf * eb
+        + cfg["whalo"] * (9 * bf if WIDE_FWD else bf) * eb
         + cfg["nzp_out"] * cout * bf * 4
         + 2 * (cfg["nzp_out"] * cout + w0) * bf * eb  # out + identity xblk
     )
@@ -700,7 +830,7 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride):
     k2 = bwd_band_slabs(cfg["zg2"], z_stride)
     bwd_vmem = (
         NBUF * 3 * cfg["whalo2"] * cfg["span_bwd"] * eb
-        + cfg["whalo2"] * bb * eb
+        + cfg["whalo2"] * (9 * bb if WIDE_FWD else bb) * eb
         + cfg["nzp_in"] * c * bb * (4 + eb)  # f32 acc + xbb
         + 2 * (cfg["nzp_in"] * c + w0 + w2) * bb * eb  # gout + xblk + gyblk
         + 2 * 9 * cfg["zg2"] * c * k2 * cout * 4  # dwacc out
