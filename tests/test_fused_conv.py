@@ -89,7 +89,9 @@ def test_fused_subm_forward(act, identity):
     _masked_close(y, ref, mask, 0.1)
 
 
-def test_fused_subm_grads():
+@pytest.mark.parametrize("mixed", [0, 1])
+def test_fused_subm_grads(monkeypatch, mixed):
+    monkeypatch.setattr(pfc, "MIXED_BWD", mixed)
     rng = np.random.default_rng(1)
     nz, c, cout = 5, 16, 16
     x, scale, shift, w, idx, inv, mask = _subm_setup(rng, nz=nz, c=c, cout=cout)
@@ -123,7 +125,9 @@ def test_fused_subm_grads():
     )
 
 
-def test_fused_down_forward_and_grads():
+@pytest.mark.parametrize("mixed", [0, 1])
+def test_fused_down_forward_and_grads(monkeypatch, mixed):
+    monkeypatch.setattr(pfc, "MIXED_BWD", mixed)
     rng = np.random.default_rng(2)
     nz, c, cout = 5, 16, 32
     x, scale, shift, w, idx, inv, mask, om = _down_setup(rng, nz=nz, c=c,

@@ -96,3 +96,11 @@ def test_checkpoint_roundtrip(trained, tmp_path):
     # params-only transfer keeps weights, resets optimizer
     fresh = ckpt_lib.load_params_only(path, state.replace(step=0))
     assert int(fresh.step) == 0
+    # the restored opt_state must keep its TYPED optax nodes (a bare orbax
+    # restore rebuilds dicts; apply_gradients then crashes on attribute
+    # access — the verify_r3c resume bug): one update must run
+    assert jax.tree_util.tree_structure(
+        restored.opt_state
+    ) == jax.tree_util.tree_structure(state.opt_state)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, restored.params)
+    restored.apply_gradients(grads=grads)

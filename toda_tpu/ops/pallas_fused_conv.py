@@ -61,6 +61,19 @@ FORCE_PATH = int(os.environ.get("TODA_FUSED_FORCE_PATH", "0"))
 # group's taps' one-hots concatenated along lanes (no subwindow predication,
 # no cross-sub VMEM accumulation); 0 = legacy per-tap sub-dot loop
 WIDE_FWD = int(os.environ.get("TODA_FUSED_WIDE", "1"))
+# 1 = span-tier ladder on the wide group dots: pick the narrowest
+# 128-aligned window tier covering the group's union tap range (typical
+# used span is ~320 of 512 lanes), predicated per tier x position.
+# MEASURED OFF (v5e, 2-layer fwd microbench): 38.6 ms vs 16.2 ms full-span
+# — the predicated tier x position sites serialize in Mosaic; the kernels
+# are issue-bound, so skipped-lane FLOPs never show. Kept for the record.
+LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
+# 1 = mixed custom VJP: fused Pallas forward (keeps the e2e layer-boundary
+# win) + the legacy stacked-gather XLA-GEMM conv backward with the
+# affine/relu chain rule applied on a recomputed pre-activation mask.
+# The in-kernel dW lane-contractions of the fused backward (~240 GFLOP at
+# the stage-1 shape) cost more than the stack HBM round-trip they avoid.
+MIXED_BWD = int(os.environ.get("TODA_FUSED_MIXED_BWD", "1"))
 
 
 def _fwd_slots(identity):
@@ -71,6 +84,53 @@ def _fwd_slots(identity):
     if identity is not None:
         slot[identity] = 8
     return slot
+
+
+def _span_tiers(nsub):
+    """Ascending subwindow-count tiers for the ladder; last = full span.
+    Capped for wide spans to bound the predicated-region count."""
+    if not LADDER:
+        return [nsub]
+    return list(range(2, nsub + 1)) if nsub <= 4 else [3, nsub]
+
+
+def _group_range(meta_ref, i, ts):
+    """Union (smin, smax) 128-lane subwindow range over a group's taps."""
+    smin_g = meta_ref[i, 3 + ts[0]]
+    smax_g = meta_ref[i, 12 + ts[0]]
+    for t in ts[1:]:
+        smin_g = jnp.minimum(smin_g, meta_ref[i, 3 + t])
+        smax_g = jnp.maximum(smax_g, meta_ref[i, 12 + t])
+    return smin_g, smax_g
+
+
+def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
+    """Emit the predicated tier x position group dots for one buffer slot
+    predicate set. b_g_oh_list: [(b, g, ts, oh, gstart, wdt)]."""
+    tiers = _span_tiers(nsub)
+    for b, g, ts, oh, gstart, wdt in b_g_oh_list:
+        smin_g, smax_g = _group_range(meta_ref, i, ts)
+        width_g = smax_g - smin_g + 1
+        for ti, w in enumerate(tiers):
+            lo_excl = tiers[ti - 1] if ti else 0
+            cond_w = (width_g > lo_excl) & (width_g <= w)
+            if w == nsub:
+                positions = [0]
+            else:
+                positions = range(nsub - w + 1)
+            s_cl = jnp.minimum(smin_g, nsub - w)
+            for s in positions:
+                cnd = (slot == b) & cond_w
+                if w != nsub:
+                    cnd = cnd & (s_cl == s)
+
+                @pl.when(cnd)
+                def _(b=b, g=g, s=s, w=w, oh=oh, gstart=gstart, wdt=wdt):
+                    gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
+                        win[b, g, :, s * 128 : (s + w) * 128],
+                        oh[s * 128 : (s + w) * 128],
+                        preferred_element_type=jnp.float32,
+                    ).astype(gbuf.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -314,6 +374,7 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             gbuf[pl.ds(c + w0, nrest), pl.ds(s8, bsz)] = jnp.zeros(
                 (nrest, bsz), gbuf.dtype
             )
+        sites = []
         gstart = 0
         for g in range(3):
             ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
@@ -322,14 +383,10 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
             oh = (giota == licat).astype(gbuf.dtype)
             for b in range(NBUF):
-
-                @pl.when(slot == b)
-                def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
-                    gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
-                        win[b, g], oh, preferred_element_type=jnp.float32
-                    ).astype(gbuf.dtype)
-
+                sites.append((b, g, ts, oh, gstart, wdt))
             gstart += wdt
+        _ladder_dots(win, slot, sites, gbuf, meta_ref, i, identity,
+                     span // 128)
         for t in range(9):
             soff = slot_of[t] * bsz
             for gz in range(ng):
@@ -561,6 +618,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                 gbuf[pl.ds(ht * cout + w2, nrest), pl.ds(s8, bsz)] = jnp.zeros(
                     (nrest, bsz), gbuf.dtype
                 )
+        sites = []
         gstart = 0
         for g in range(3):
             ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
@@ -569,14 +627,10 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
             oh = (giota == licat).astype(gbuf.dtype)
             for b in range(NBUF):
-
-                @pl.when(slot == b)
-                def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
-                    gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
-                        win[b, g], oh, preferred_element_type=jnp.float32
-                    ).astype(gbuf.dtype)
-
+                sites.append((b, g, ts, oh, gstart, wdt))
             gstart += wdt
+        _ladder_dots(win, slot, sites, gbuf, meta_ref, i, identity,
+                     span // 128)
         goff = zg2 if s == 1 else zg2 // 2
         for t in range(9):
             soff = slot_of[t] * bsz
@@ -901,6 +955,52 @@ def _fused_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
     return y, (x, scale, shift, w, idxf, invf)
 
 
+def _mixed_bwd(x, scale, shift, w, idxf, invf, gy, nz_in, z_stride, act,
+               identity_tap):
+    """Legacy stacked-gather conv backward + affine/relu chain rule.
+
+    Recomputes the applied activation h = relu(x*scale+shift) (one
+    elementwise pass; the fused forward never materialized it), runs the
+    tuned scatter-free transposed conv backward from pillar_sparse (ONE
+    interleaved inverse gather + a single 9*Cout-channel conv transpose),
+    then chains dL/dh through the recomputed relu mask and the affine.
+    Output-lane validity is recovered from the forward tap table (a lane
+    with no live taps is padding). Measured faster than the in-kernel
+    fused backward: its dW lane-contractions cost more MXU issue than the
+    stack HBM round-trip they avoid (NOTES.md late-r3 kernel arc)."""
+    from .pillar_sparse import _core_t_bwd
+
+    c = x.shape[0] // nz_in
+    m_in = x.shape[1]
+    xdt = x.dtype
+    x3 = x.reshape(nz_in, c, m_in)
+    if act:
+        scb = scale.astype(xdt)[None, :, None]
+        shb = shift.astype(xdt)[None, :, None]
+        a3 = x3 * scb + shb
+        h3 = jnp.maximum(a3, 0)
+    else:
+        h3 = x3  # act=False contract: raw input, no affine (see _ref_fwd)
+    mask_in = (invf >= 0).any(axis=1)
+    h3 = jnp.where(mask_in[None, None, :], h3, 0)
+    mask_out = (idxf >= 0).any(axis=1)
+    res_c = (h3.reshape(nz_in * c, m_in), w.astype(xdt), idxf, invf, mask_out)
+    dh, dw, _, _, _ = _core_t_bwd(nz_in, z_stride, identity_tap, res_c, gy)
+    dh3 = dh.reshape(nz_in, c, m_in)
+    if act:
+        dh3 = jnp.where(a3 > 0, dh3, 0)
+        dx = (dh3 * scb).reshape(nz_in * c, m_in)
+        g3 = dh3.astype(jnp.float32)
+        dscale = (g3 * x3.astype(jnp.float32)).sum(axis=(0, 2)).astype(
+            scale.dtype)
+        dshift = g3.sum(axis=(0, 2)).astype(shift.dtype)
+    else:
+        dx = dh
+        dscale = jnp.zeros_like(scale)
+        dshift = jnp.zeros_like(shift)
+    return dx.astype(xdt), dscale, dshift, dw.astype(w.dtype)
+
+
 def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
     x, scale, shift, w, idxf, invf = res
     c = x.shape[0] // nz_in
@@ -909,6 +1009,11 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
     m_in = x.shape[1]
     w0 = nz_in * c
     gy = gy.astype(x.dtype)
+
+    if MIXED_BWD and FORCE_PATH != 2:
+        return _mixed_bwd(x, scale, shift, w, idxf, invf, gy, nz_in,
+                          z_stride, act, identity_tap) + (None, None)
+
     meta2, li42, ovf2 = _prologue(invf, gy.shape[1], cfg["span_bwd"],
                                   cfg["blk_bwd"])
 

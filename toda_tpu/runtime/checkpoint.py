@@ -48,11 +48,23 @@ def save_checkpoint(ckpt_dir, state, epoch, max_keep=30):
 
 def load_checkpoint(path, state=None):
     """Restore a full training checkpoint. If `state` is given, returns it with
-    params/batch_stats/opt_state/step replaced (resume); else the raw payload."""
+    params/batch_stats/opt_state/step replaced (resume); else the raw payload.
+
+    The resume restore MUST use the live state as the target pytree: a bare
+    restore rebuilds generic dicts/lists, silently dropping the typed optax
+    state nodes (ScaleByAdamState, InjectStatefulHyperparamsState, ...) whose
+    attribute access the next apply_gradients relies on."""
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(str(Path(path).resolve()))
     if state is None:
-        return payload
+        return ckptr.restore(str(Path(path).resolve()))
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": 0,
+    }
+    payload = ckptr.restore(str(Path(path).resolve()), item=target)
     return (
         state.replace(
             params=payload["params"],
