@@ -128,3 +128,31 @@ def test_stacked9_interpret_matches_fallback(monkeypatch):
     assert not bool(overflow)
     got = np.asarray(pg._pallas_gather9_stacked(tableT, lo3, li4, m, pg.SPAN_T))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_scatter_prologue_ignores_invalid_tails(monkeypatch):
+    """Batched (flattened) scatters carry each sample's invalid tail
+    (idx=-1) between samples. The overflow check must count only VALID
+    window rows — the raw searchsorted bound of a sample-boundary tile
+    spans the whole tail, which forced the XLA fallback scatter on every
+    voxelizer step at nuScenes scale despite tiny true windows."""
+    rng = np.random.RandomState(11)
+    n_per, m_per, w, bt = 1024, 2048, 128, 2
+    idx_parts, g_parts = [], []
+    for b in range(bt):
+        u = 300  # valid compacted entries at the front, rest invalid tail
+        vals = np.sort(rng.choice(n_per, size=u, replace=False)).astype(np.int32)
+        seg = np.full((m_per,), -1, np.int32)
+        seg[:u] = vals + b * n_per
+        idx_parts.append(seg)
+        g_parts.append(rng.randn(m_per, w).astype(np.float32))
+    idx = np.concatenate(idx_parts)
+    g = np.concatenate(g_parts)
+    n = bt * n_per
+
+    c, tgt_win, overflow = pg._scatter_prologue(jnp.asarray(idx), n, idx.size)
+    assert not bool(overflow), "boundary-tile invalid tails must not overflow"
+
+    monkeypatch.setattr(pg, "INTERPRET", True)
+    s = pg._pallas_scatter(jnp.asarray(g), tgt_win, c, n)
+    np.testing.assert_allclose(np.asarray(s), _ref_scatter(g, idx, n), rtol=1e-5)

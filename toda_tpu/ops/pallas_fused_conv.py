@@ -68,12 +68,15 @@ WIDE_FWD = int(os.environ.get("TODA_FUSED_WIDE", "1"))
 # — the predicated tier x position sites serialize in Mosaic; the kernels
 # are issue-bound, so skipped-lane FLOPs never show. Kept for the record.
 LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
-# 1 = mixed custom VJP: fused Pallas forward (keeps the e2e layer-boundary
-# win) + the legacy stacked-gather XLA-GEMM conv backward with the
-# affine/relu chain rule applied on a recomputed pre-activation mask.
-# The in-kernel dW lane-contractions of the fused backward (~240 GFLOP at
-# the stage-1 shape) cost more than the stack HBM round-trip they avoid.
-MIXED_BWD = int(os.environ.get("TODA_FUSED_MIXED_BWD", "1"))
+# 1 = mixed custom VJP: fused Pallas forward + the legacy stacked-gather
+# XLA-GEMM conv backward with the affine/relu chain rule applied on a
+# recomputed pre-activation mask. Wins the isolated 2-layer microbench
+# (32.83 vs 34.96 ms fwd+bwd) but LOSES end-to-end (21.51 vs 22.79
+# scans/s, bench.py bs8): across the 11-layer backbone the recomputed-h
+# passes, the 9*Cout gather-stack HBM round-trips, and the unfused
+# dscale/dshift reductions outweigh the per-layer dot savings that the
+# in-kernel fused backward avoids. Default off; knob kept for A/B.
+MIXED_BWD = int(os.environ.get("TODA_FUSED_MIXED_BWD", "0"))
 
 
 def _fwd_slots(identity):

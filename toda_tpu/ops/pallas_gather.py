@@ -1005,7 +1005,18 @@ def _scatter_prologue(idx, n, m, span=None):
     c = (a // 8) * 8
     c = jnp.minimum(c, ((m - span) // 8) * 8)
     c = jnp.maximum(c, 0).astype(jnp.int32)
-    overflow = nonmono | jnp.any(b - c > span)
+    # overflow must count only VALID rows in the window: with batched
+    # (flattened) inputs each sample's invalid tail (idx=-1, cummax stuck)
+    # sits between samples, and the raw b of a sample-boundary tile lands
+    # past that whole tail — a ~100k overestimate that forced the XLA
+    # fallback scatter every step at nuScenes scale (trace: 15 ms/step)
+    # even though the true per-tile windows were <100 rows. Clamp b to
+    # one-past the last valid source row strictly before it.
+    posv = jax.lax.cummax(
+        jnp.where(valid, jnp.arange(m, dtype=jnp.int32), -1)
+    )
+    bsafe = jnp.where(b > 0, jnp.take(posv, jnp.maximum(b - 1, 0)) + 1, 0)
+    overflow = nonmono | jnp.any(bsafe - c > span)
     # per-tile index windows, built host-side from contiguous slices (cheap —
     # nblk slice-DMAs, not m row-gathers); (nblk, span, 1) for blocked VMEM
     tgt_win = jax.vmap(lambda ck: jax.lax.dynamic_slice(idx, (ck,), (span,)))(c)

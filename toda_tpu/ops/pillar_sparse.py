@@ -264,17 +264,25 @@ def voxelize_pillars_batched(points, points_mask, voxel_size, pc_range,
         rowid = jnp.where(cvalid, ckey // 8, -1)
         from .pallas_gather import scatter_rows_add
 
-        # NOTE on span: the worst case is 1024 contributions per 128-row output
-        # tile (8 cells/row), so 640 CAN overflow on dense regions and take the
-        # XLA-scatter fallback. Measured r3: span=1152 (never overflows) is
-        # NOT faster — the fixed window then reads ~9x the payload (span/BLOCK
-        # amplification) and the DMA cost matches the fallback scatter's
-        # ~15 ms. Keep 640: fast path on sparse scenes, fallback on dense.
+        # NOTE on span: the theoretical worst case is 1024 contributions per
+        # 128-row output tile (8 cells/row) but post-compaction windows are
+        # tiny in practice (p99 ~44 rows at nuScenes scale). The r3 trace
+        # showed the fallback firing EVERY step anyway: the overflow check
+        # was counting each sample's invalid tail inside sample-boundary
+        # tiles (fixed in pallas_gather._scatter_prologue — valid-row
+        # clamp). span=1152 measured no faster than the fallback because
+        # it never fixed that; 640 + the clamp takes the fast path.
         out = scatter_rows_add(
             exp, rowid, ncell // 8, out_dtype=jnp.float32, span=640
         )  # (bt, ncell/8, 128)
-        out = out.reshape(bt, ncell, 16)
-        sums = out[..., 0::2] + out[..., 1::2]  # (bt, ncell, 8)
+        # pair-sum the hi+lo bf16 splits in PACKED lane space first: the
+        # direct (bt, ncell, 16) reshape + strided sum measured 9.4 + 8.4
+        # ms/step at nuScenes scale (two full-tensor relayout passes of the
+        # 8x row-expanded f32 tensor); halving lanes before the row
+        # expansion quarters the repack traffic
+        o4 = out.reshape(bt, ncell // 8, 64, 2)
+        s64 = o4[..., 0] + o4[..., 1]  # (bt, R, 64): 8 cells x 8 lanes
+        sums = s64.reshape(bt, ncell, 8)
         feat_sum = sums[..., :c]
         counts = jnp.round(sums[..., c]).astype(jnp.int32)
 
