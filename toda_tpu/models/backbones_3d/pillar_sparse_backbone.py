@@ -34,6 +34,7 @@ from ...ops.pillar_sparse import (
     pillar_conv3d,
     pillar_conv3d_t,
     pillars_to_dense,
+    pillars_to_dense_batched,
     voxelize_pillars,
     voxelize_pillars_batched,
 )
@@ -325,6 +326,19 @@ class _PillarBackboneBase(nn.Module):
         bt, p, _, c = x.shape
         # -> transposed flow: (nz*C, Bt*P), pillars in lanes (one relayout)
         x = x.transpose(2, 3, 0, 1).reshape(nz * c, bt * p)
+        if c % 8 != 0:
+            # pad input features to the 8-sublane multiple the fused kernel
+            # requires, so the FIRST layer also takes the fused path (the
+            # raw-feature c=4/5 legacy conv at full M was the single most
+            # expensive non-fused layer). Zero channels are exact: act=False
+            # skips the affine and zero inputs contribute nothing; their
+            # weight columns get zero gradients. Applied on every path so
+            # the param shapes stay consistent across backends.
+            cpad = -(-c // 8) * 8
+            x = jnp.pad(
+                x.reshape(nz, c, bt * p), ((0, 0), (0, cpad - c), (0, 0))
+            ).reshape(nz * cpad, bt * p)
+            c = cpad
         bev_shape = (ny, nx)
         cur_nz = nz
 
@@ -408,9 +422,9 @@ class _PillarBackboneBase(nn.Module):
             x = xs_out  # applied form of the last stage
         cfin = x.shape[0] // cur_nz
         x4 = x.reshape(cur_nz, cfin, bt, -1).transpose(2, 3, 0, 1)  # (Bt,P,nz,C)
-        dense = jax.vmap(lambda f, c_, m_: pillars_to_dense(f, c_, m_, bev_shape))(
-            x4, coords, mask
-        )  # (B, ny8, nx8, nz8, C)
+        dense = pillars_to_dense_batched(
+            x4, coords, mask, bev_shape
+        )  # (B, ny8, nx8, nz8, C) — span-kernel scatter + gather VJP
         # encoded tensor in (B, D, H, W, C) convention for HeightCompression
         batch_dict["encoded_spconv_tensor"] = dense.transpose(0, 3, 1, 2, 4).astype(
             jnp.float32 if not self.model_cfg.get("BF16", True) else jnp.bfloat16

@@ -89,11 +89,21 @@ class AxisAlignedTargetAssigner:
             ),
             anchor_best_gt,
         )
-        labels = jnp.where(pos, gt_cls[assigned_gt], jnp.where(neg, 0, -1))
+        # gather the matched gt rows via one-hot matmul: the (N,) dynamic
+        # row-gathers from the tiny gt table lowered to ~3 ms/step XLA
+        # gather fusions each at bench scale; an (N, M) one-hot against
+        # (M, 8) is a trivial MXU dot. The class id rides along as the
+        # trailing column (exact in f32 — small ints).
+        m = gt_boxes.shape[0]
+        oh = (assigned_gt[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+              ).astype(gt_boxes.dtype)
+        gathered = oh @ gt_boxes  # (N, 8)
+        cls_of = jnp.round(gathered[:, -1]).astype(jnp.int32)
+        labels = jnp.where(pos, cls_of, jnp.where(neg, 0, -1))
 
         # keep every box column except the trailing class id — velocity
         # channels (nuScenes 9-col boxes) ride into the residual encoding
-        matched_gt = gt_boxes[assigned_gt][:, :-1]
+        matched_gt = gathered[:, :-1]
         reg_targets = self.box_coder.encode(matched_gt, anchors)
         reg_targets = jnp.where(pos[:, None], reg_targets, 0.0)
 

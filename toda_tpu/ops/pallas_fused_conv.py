@@ -161,25 +161,32 @@ def bwd_band_slabs(zg2, z_stride):
     return zg2 + 2 if z_stride == 1 else zg2 // 2 + 1
 
 
+def _fwd_band_sel(zg, z_stride):
+    """Static (3, Kslabs, zg) 0/1 selector: sel[dz, K, k] = 1 iff band slab
+    K == z_stride*k + dz (the fwd band placement)."""
+    ks = fwd_band_slabs(zg, z_stride)
+    sel = np.zeros((3, ks, zg), np.float32)
+    for k in range(zg):
+        for dz in range(3):
+            sel[dz, z_stride * k + dz, k] = 1.0
+    return sel
+
+
 def band_fwd_weights(w, zg, z_stride):
     """(3,3,3,c,cout) (dz,dy,dx) -> (9, Kslabs*c, zg*cout) banded.
 
     Band block for (output slab k, dz): rows (z_stride*k+dz)*c..+c, cols
     k*cout..+cout — output zo of group g reads haloed input slabs
     z_stride*zo + dz with the group's buffer window starting at haloed slab
-    z_stride*g*zg."""
+    z_stride*g*zg. Built as ONE einsum against a static 0/1 selector —
+    the per-(t,k,dz) .at[].set chain traced as ~150 separate fusion ops
+    (~8 ms/step rebuilt for every layer fwd+bwd)."""
     c, cout = w.shape[3], w.shape[4]
     ks = fwd_band_slabs(zg, z_stride)
-    out = jnp.zeros((9, ks * c, zg * cout), w.dtype)
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        for k in range(zg):
-            for dz in range(3):
-                r = (z_stride * k + dz) * c
-                out = out.at[t, r : r + c, k * cout : (k + 1) * cout].set(
-                    w[dz, dy, dx]
-                )
-    return out
+    sel = jnp.asarray(_fwd_band_sel(zg, z_stride), w.dtype)
+    w9 = w.reshape(3, 9, c, cout)
+    band = jnp.einsum("dKk,dtio->tKiko", sel, w9)
+    return band.reshape(9, ks * c, zg * cout)
 
 
 def _bwd_slab_pairs(zg2, z_stride):
@@ -201,26 +208,31 @@ def _bwd_slab_pairs(zg2, z_stride):
     return pairs
 
 
+def _bwd_band_sel(zg2, z_stride):
+    """Static (3, K2slabs, zg2) 0/1 selector of the bwd band placement
+    (sel[dz, sl, k] = 1 iff _bwd_slab_pairs maps (k, dz) -> sl)."""
+    k2 = bwd_band_slabs(zg2, z_stride)
+    pairs = _bwd_slab_pairs(zg2, z_stride)
+    sel = np.zeros((3, k2, zg2), np.float32)
+    for k in range(zg2):
+        for dz in range(3):
+            sl = pairs[(k, dz)]
+            if sl is not None and 0 <= sl < k2:
+                sel[dz, sl, k] = 1.0
+    return sel
+
+
 def band_bwd_weights(w, zg2, z_stride):
     """(3,3,3,c,cout) -> (9, K2slabs*cout, zg2*c) transposed band: the
     features-cotangent contraction g_pre = sum_t Wback_t^T . gathered-gy
-    (see _bwd_slab_pairs for the slab mapping)."""
+    (see _bwd_slab_pairs for the slab mapping). One einsum against a
+    static selector, same rationale as band_fwd_weights."""
     c, cout = w.shape[3], w.shape[4]
     k2 = bwd_band_slabs(zg2, z_stride)
-    out = jnp.zeros((9, k2 * cout, zg2 * c), w.dtype)
-    pairs = _bwd_slab_pairs(zg2, z_stride)
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        for k in range(zg2):
-            for dz in range(3):
-                sl = pairs[(k, dz)]
-                if sl is None or sl < 0 or sl >= k2:
-                    continue
-                r = sl * cout
-                out = out.at[t, r : r + cout, k * c : (k + 1) * c].set(
-                    w[dz, dy, dx].T
-                )
-    return out
+    sel = jnp.asarray(_bwd_band_sel(zg2, z_stride), w.dtype)
+    w9 = w.reshape(3, 9, c, cout)
+    band = jnp.einsum("dSk,dtio->tSoki", sel, w9)
+    return band.reshape(9, k2 * cout, zg2 * c)
 
 
 def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
@@ -228,21 +240,14 @@ def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
 
     dwacc_t holds, summed over blocks and z-groups, the lane contraction of
     xb group rows against gathered-gy group rows; the (k, dz) band cells are
-    the conv-weight gradients, off-band cells unused cross terms."""
-    pairs = _bwd_slab_pairs(zg2, z_stride)
+    the conv-weight gradients, off-band cells unused cross terms. The band
+    cell selection is the same static selector as band_bwd_weights, applied
+    as one einsum."""
     k2 = bwd_band_slabs(zg2, z_stride)
-    dw = jnp.zeros((3, 3, 3, c, cout), jnp.float32)
-    for dz in range(3):
-        acc = None
-        for k in range(zg2):
-            sl = pairs[(k, dz)]
-            if sl is None or sl < 0 or sl >= k2:
-                continue
-            blk = dwacc[:, k * c : (k + 1) * c, sl * cout : (sl + 1) * cout]
-            acc = blk if acc is None else acc + blk
-        if acc is not None:
-            dw = dw.at[dz].set(acc.reshape(3, 3, c, cout))
-    return dw.astype(dtype)
+    sel = jnp.asarray(_bwd_band_sel(zg2, z_stride), dwacc.dtype)
+    d5 = dwacc.reshape(9, zg2, c, k2, cout)
+    dw = jnp.einsum("dSk,tkiSo->dtio", sel, d5)
+    return dw.reshape(3, 3, 3, c, cout).astype(dtype)
 
 
 # --------------------------------------------------------------------------

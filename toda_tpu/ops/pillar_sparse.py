@@ -34,6 +34,7 @@ from .pallas_gather import (
     gather_rows,
     gather_rows_taps,
     gather_rows_taps_t,
+    scatter_rows_add,
 )
 from . import pallas_gather as _pg
 
@@ -738,6 +739,45 @@ def pillars_to_dense(features, coords, mask, bev_shape):
         .set(features, mode="drop")
     )
     return dense.reshape(ny, nx, nz, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dense_scatter_diff(featflat, flat, n):
+    """Sorted-unique-key scatter to a dense table via the span kernel.
+    (bt, P, W), (bt, P) -> (bt, n, W); -1 keys dropped. The .at[].set
+    form lowered to ~4.5 ms/step of XLA scatter fusions (fwd + u32 bwd)
+    at bench scale; keys are sorted so the Pallas span scatter applies,
+    and the exact VJP is a row gather."""
+    return scatter_rows_add(featflat, flat, n)
+
+
+def _dense_scatter_fwd(featflat, flat, n):
+    return scatter_rows_add(featflat, flat, n), flat
+
+
+def _dense_scatter_bwd(n, flat, gbar):
+    return gather_rows(gbar, flat), None
+
+
+_dense_scatter_diff.defvjp(_dense_scatter_fwd, _dense_scatter_bwd)
+
+
+def pillars_to_dense_batched(features, coords, mask, bev_shape):
+    """(Bt, P, nz, C) -> (Bt, ny, nx, nz, C) dense, span-kernel scatter.
+
+    Pillar keys are sorted and unique per sample by construction, so
+    scatter-add equals scatter-set and the monotone span property holds."""
+    ny, nx = bev_shape
+    bt, p, nz, c = features.shape
+    flat = jnp.where(
+        mask & (coords[..., 0] >= 0),
+        coords[..., 0] * nx + coords[..., 1],
+        -1,
+    ).astype(jnp.int32)
+    dense = _dense_scatter_diff(
+        features.reshape(bt, p, nz * c), flat, ny * nx
+    )
+    return dense.reshape(bt, ny, nx, nz, c).astype(features.dtype)
 
 
 def _merge_ranks_multi(segments):
