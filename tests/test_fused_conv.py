@@ -229,3 +229,46 @@ def test_subm_block_fused_flow_matches_legacy(monkeypatch, interpret):
         ),
         st_fused["batch_stats"], st_legacy["batch_stats"],
     )
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_residual_block_fused_flow_matches_legacy(monkeypatch, interpret):
+    """The fused residual block (both convs on the raw+affine chain, one
+    combined apply+add+relu join) must reproduce the legacy applied-tensor
+    residual flow: same outputs, same updated BN stats."""
+    from toda_tpu.models.backbones_3d.pillar_sparse_backbone import (
+        PillarSubMBlockT,
+        apply_affine_t,
+        identity_affine,
+    )
+
+    monkeypatch.setattr(pfc, "INTERPRET", interpret)
+    rng = np.random.default_rng(13)
+    nz, c = 5, 16
+    x, idx, mask = _block_setup(rng, nz=nz, c=c)
+    if interpret:
+        _no_overflow(idx, x.shape[1], pfc.SPAN_SUBM)
+    blk = PillarSubMBlockT(out_channels=16, nz=nz, residual=True)
+    params = blk.init(jax.random.PRNGKey(1), x, idx, mask, training=True)
+
+    y_legacy, st_legacy = blk.apply(
+        params, x, idx, mask, training=True, mutable=["batch_stats"]
+    )
+    (out, aff), st_fused = blk.apply(
+        params, x, idx, mask, training=True, fused_in=identity_affine(c),
+        mutable=["batch_stats"],
+    )
+    # residual blocks return an applied tensor with an identity affine
+    assert aff[2] is False
+    y_fused = apply_affine_t(out, aff, mask, nz)
+
+    np.testing.assert_allclose(
+        np.asarray(y_fused, np.float32), np.asarray(y_legacy, np.float32),
+        atol=0.15 if interpret else 1e-5, rtol=0.1 if interpret else 1e-5,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2
+        ),
+        st_fused["batch_stats"], st_legacy["batch_stats"],
+    )

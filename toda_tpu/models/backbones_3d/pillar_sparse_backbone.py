@@ -266,6 +266,34 @@ class PillarSubMBlockT(nn.Module):
                                           identity_tap=4, name=f"subm{i}")(
                     x, idxf, maskf, training, invf, fused_in=aff)
             return x, aff
+        if fused_in is not None and self.residual:
+            # fused residual block: both convs run the fused raw+affine
+            # chain; the residual join materializes ONE combined
+            # apply(conv2 affine) + identity-add + relu pass. The block
+            # returns an already-applied tensor with an identity affine
+            # (act=False) so downstream chaining stays uniform.
+            raw1, aff1 = PillarConvLayerT(self.out_channels, self.nz,
+                                          identity_tap=4, name="conv1")(
+                x, idxf, maskf, training, invf, fused_in=fused_in)
+            raw2, aff2 = PillarConvLayerT(self.out_channels, self.nz,
+                                          use_relu=False, identity_tap=4,
+                                          name="conv2")(
+                raw1, idxf, maskf, training, invf, fused_in=aff1)
+            identity = apply_affine_t(x, fused_in, maskf, self.nz)
+            cin = identity.shape[0] // self.nz
+            if cin != self.out_channels:
+                wp = self.param(
+                    "proj_kernel", nn.initializers.lecun_normal(),
+                    (cin, self.out_channels),
+                )
+                id3 = identity.reshape(self.nz, cin, -1)
+                identity = jnp.einsum(
+                    "zcm,cd->zdm", id3, wp.astype(identity.dtype)
+                ).reshape(self.nz * self.out_channels, -1)
+            y2 = apply_affine_t(raw2, aff2, maskf, self.nz)
+            out = jnp.where(maskf[None, :], nn.relu(y2 + identity), 0.0)
+            ones = jnp.ones((self.out_channels,), jnp.float32)
+            return out, (ones, jnp.zeros_like(ones), False)
         if self.residual:
             identity = x
             x = PillarConvLayerT(self.out_channels, self.nz, identity_tap=4,
@@ -354,13 +382,12 @@ class _PillarBackboneBase(nn.Module):
         # fused flow: chain raw activations + pending BN affines through the
         # layers (BN-apply/relu/halo handled inside the gather+conv kernels);
         # stage outputs consumed elsewhere get one explicit apply (DCE'd when
-        # unused). Residual blocks keep the legacy applied-tensor flow.
-        use_fused = (
-            bool(self.model_cfg.get("FUSED_CONV", True)) and not self.RESIDUAL
-        )
+        # unused). Residual blocks join at ONE combined apply+add+relu pass
+        # and hand an already-applied tensor down the chain.
+        use_fused = bool(self.model_cfg.get("FUSED_CONV", True))
         aff = identity_affine(c) if use_fused else None
         if use_fused:
-            x, aff = PillarSubMBlockT(chans[0], cur_nz, residual=False,
+            x, aff = PillarSubMBlockT(chans[0], cur_nz, residual=self.RESIDUAL,
                                       name="stage1")(
                 x, idxf, maskf, training, fused_in=aff)
             x1_out = apply_affine_t(x, aff, maskf, cur_nz)
@@ -404,7 +431,7 @@ class _PillarBackboneBase(nn.Module):
             stride *= 2
             idxf = subm_tables(coords, mask, bev_shape, p_out)
             if use_fused:
-                x, aff = PillarSubMBlockT(ch, cur_nz, residual=False,
+                x, aff = PillarSubMBlockT(ch, cur_nz, residual=self.RESIDUAL,
                                           name=f"stage{si}")(
                     x, idxf, maskf, training, fused_in=aff)
                 xs_out = apply_affine_t(x, aff, maskf, cur_nz)

@@ -49,9 +49,16 @@ INT_MAX = np.iinfo(np.int32).max
 NBUF = 2
 BLOCK = 256  # output-block lanes, stride-1 (== pallas_gather.BLOCK_T)
 BLOCK_DOWN = 128  # stride-2 forward: smaller blocks keep windows in VMEM
-SPAN_SUBM = 512  # window lanes, stride-1 (identical sets, slope-1 streams)
-SPAN_DOWN = 640  # stride-2 fwd @128 lanes: stream advances ~4 lanes/output
-SPAN_BWD_DOWN = 512  # stride-2 backward: coarse stream, slope ~1/4
+# Window spans (lanes), env-tunable. Probed on the bs8 bench workload
+# (4 varied batches, r3): per-dy-group window need at blk 256 is max 325
+# with 8-aligned starts for all subm stages — but window starts must be
+# 128-ALIGNED (lane tiling) and sizes 128-multiples, so the effective
+# need is ~325 + up-to-127 alignment ≈ 450 → 512 is already the minimum
+# legal span (384 overflowed both the bench and the dense block test).
+# Stride-2 forward needs up to 618 at blk 128: 640 stands.
+SPAN_SUBM = int(os.environ.get("TODA_SPAN_SUBM", "512"))
+SPAN_DOWN = int(os.environ.get("TODA_SPAN_DOWN", "640"))
+SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN", "512"))
 
 INTERPRET = False
 # debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
