@@ -23,6 +23,7 @@ the first layer; in deeper layers the receptive field grows densely along z
 owed; tests pin the semantics against dense 3D convolution (exact).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -787,6 +788,8 @@ def _merge_ranks_multi(segments):
     offset into a disjoint range, so ranks separate per segment after the
     global cumsum: rank_in_segment = global_key_rank - #keys of earlier
     segments. Returns a list of per-segment query ranks."""
+    if RANK_VIA_SEARCHSORTED:
+        return [_merge_ranks(key, enc, kmax) for key, enc, kmax in segments]
     vals, slots = [], []
     sizes = []
     offset = 0
@@ -817,6 +820,14 @@ def _merge_ranks_multi(segments):
     return out
 
 
+# 1 = rank queries among keys via jnp.searchsorted (one binary-search
+# fusion) instead of the merge-sort pair. Keys are already sorted and the
+# parity encoding makes left==right, so both are exact; which is faster is
+# hardware-dependent (sorts are fixed-cost-heavy, searchsorted is
+# latency-bound) — A/B on chip via this knob.
+RANK_VIA_SEARCHSORTED = int(os.environ.get("TODA_RANK_SEARCHSORTED", "0"))
+
+
 def _merge_ranks(key, enc, kmax):
     """Rank encoded queries among the sorted keys WITHOUT scalar gathers.
 
@@ -830,7 +841,11 @@ def _merge_ranks(key, enc, kmax):
     """
     p, q = key.shape[0], enc.shape[0]
     kenc = jnp.where(key == INT_MAX, 2 * kmax + 3, 2 * key + 1)
-    vals = jnp.concatenate([kenc, jnp.clip(enc, 0, 2 * kmax + 2)])
+    encc = jnp.clip(enc, 0, 2 * kmax + 2)
+    if RANK_VIA_SEARCHSORTED:
+        # keys odd / queries even -> no ties; #kenc < enc == #key < enc//2
+        return jnp.searchsorted(kenc, encc, side="left").astype(jnp.int32)
+    vals = jnp.concatenate([kenc, encc])
     slots = jnp.arange(p + q, dtype=jnp.int32)
     svals, sslots = jax.lax.sort([vals, slots], num_keys=1, is_stable=True)
     iskey = (svals & 1).astype(jnp.int32)
