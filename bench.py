@@ -82,7 +82,7 @@ def main():
 
     # measured per-chip optimum: bs4 = 18.6, bs8 = 19.4 scans/s (the span
     # kernels amortize per-call overheads at bs8); bs16 exceeds HBM
-    batch_size = 8
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     step, state, batches, batch_size = build_bench(batch_size)
 
     # warmup / compile

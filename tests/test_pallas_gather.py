@@ -156,3 +156,33 @@ def test_scatter_prologue_ignores_invalid_tails(monkeypatch):
     monkeypatch.setattr(pg, "INTERPRET", True)
     s = pg._pallas_scatter(jnp.asarray(g), tgt_win, c, n)
     np.testing.assert_allclose(np.asarray(s), _ref_scatter(g, idx, n), rtol=1e-5)
+
+
+def test_unpack_pillars_t_matches_reference(monkeypatch):
+    """The fused voxelizer-unpack kernel (pair-sum + count divide + bf16 +
+    transpose + channel pad in one pass) must match the pure-XLA reference
+    bit-exactly: the selector and permutation dots are 0/1 selections
+    accumulated in f32."""
+    rng = np.random.RandomState(3)
+    bt, p, nz, c, cpad = 2, 256, 16, 4, 8
+    r = p * nz // 8
+    raw = np.zeros((bt, r, 128), np.float32)
+    for g in range(8):
+        # bf16-split hi/lo pairs for the feature columns, integer counts
+        feats = rng.randn(bt, r, c).astype(np.float32) * 3
+        hi = np.asarray(jnp.asarray(feats).astype(jnp.bfloat16), np.float32)
+        lo = np.asarray(jnp.asarray(feats - hi).astype(jnp.bfloat16), np.float32)
+        for k in range(c):
+            raw[:, :, g * 16 + 2 * k] = hi[..., k]
+            raw[:, :, g * 16 + 2 * k + 1] = lo[..., k]
+        raw[:, :, g * 16 + 2 * c] = rng.randint(0, 5, (bt, r)).astype(np.float32)
+    out = jnp.asarray(raw)
+    want = pg.unpack_pillars_t_ref(out, nz, c, cpad, p)
+    monkeypatch.setattr(pg, "INTERPRET_FORCED", True)
+    got = pg._unpack_impl(out, nz, c, cpad, p)
+    np.testing.assert_array_equal(np.float32(got), np.float32(want))
+
+    # VJP goes through the reference path (adversarial-gradient contexts)
+    _, vjp = jax.vjp(lambda o: pg.unpack_pillars_t(o, nz, c, cpad, p), out)
+    (do,) = vjp(jnp.ones_like(want))
+    assert do.shape == out.shape

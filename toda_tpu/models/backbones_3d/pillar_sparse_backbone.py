@@ -341,32 +341,43 @@ class _PillarBackboneBase(nn.Module):
             else [p0, p0 // 2, p0 // 4, p0 // 8]
         )
 
+        use_bf16 = self.model_cfg.get("BF16", True)
         vox = voxelize_pillars_batched(
             batch_dict["points"], batch_dict["points_mask"],
             self.voxel_size, self.point_cloud_range,
             grid_size=(nx, ny, nz), max_pillars=caps[0], nz=nz,
+            transposed_cpad=8 if use_bf16 else None,
         )
-        x = vox["pillar_features"]  # (Bt, P, nz, C)
-        if self.model_cfg.get("BF16", True):
-            # bf16 activations halve gather/GEMM bytes; norms accumulate in f32
-            x = x.astype(jnp.bfloat16)
         coords, mask = vox["pillar_coords"], vox["pillar_mask"]
-        bt, p, _, c = x.shape
-        # -> transposed flow: (nz*C, Bt*P), pillars in lanes (one relayout)
-        x = x.transpose(2, 3, 0, 1).reshape(nz * c, bt * p)
-        if c % 8 != 0:
-            # pad input features to the 8-sublane multiple the fused kernel
-            # requires, so the FIRST layer also takes the fused path (the
-            # raw-feature c=4/5 legacy conv at full M was the single most
-            # expensive non-fused layer). Zero channels are exact: act=False
-            # skips the affine and zero inputs contribute nothing; their
-            # weight columns get zero gradients. Applied on every path so
-            # the param shapes stay consistent across backends.
-            cpad = -(-c // 8) * 8
-            x = jnp.pad(
-                x.reshape(nz, c, bt * p), ((0, 0), (0, cpad - c), (0, 0))
-            ).reshape(nz * cpad, bt * p)
-            c = cpad
+        bt, p = mask.shape
+        if "xt" in vox:
+            # fused voxelizer unpack already emitted the transposed padded
+            # bf16 layout (ops/pallas_gather.unpack_pillars_t)
+            x = vox["xt"]
+            c = x.shape[0] // nz
+        else:
+            x = vox["pillar_features"]  # (Bt, P, nz, C)
+            if use_bf16:
+                # bf16 activations halve gather/GEMM bytes; norms accumulate
+                # in f32
+                x = x.astype(jnp.bfloat16)
+            c = x.shape[-1]
+            # -> transposed flow: (nz*C, Bt*P), pillars in lanes (one relayout)
+            x = x.transpose(2, 3, 0, 1).reshape(nz * c, bt * p)
+            if c % 8 != 0:
+                # pad input features to the 8-sublane multiple the fused
+                # kernel requires, so the FIRST layer also takes the fused
+                # path (the raw-feature c=4/5 legacy conv at full M was the
+                # single most expensive non-fused layer). Zero channels are
+                # exact: act=False skips the affine and zero inputs
+                # contribute nothing; their weight columns get zero
+                # gradients. Applied on every path so the param shapes stay
+                # consistent across backends.
+                cpad = -(-c // 8) * 8
+                x = jnp.pad(
+                    x.reshape(nz, c, bt * p), ((0, 0), (0, cpad - c), (0, 0))
+                ).reshape(nz * cpad, bt * p)
+                c = cpad
         bev_shape = (ny, nx)
         cur_nz = nz
 

@@ -47,8 +47,13 @@ from . import pallas_gather as _pg
 INT_MAX = np.iinfo(np.int32).max
 
 NBUF = 2
-BLOCK = 256  # output-block lanes, stride-1 (== pallas_gather.BLOCK_T)
-BLOCK_DOWN = 128  # stride-2 forward: smaller blocks keep windows in VMEM
+# output-block lanes. Smaller blocks shrink the per-dy-group window spans
+# (tools/probe_group_spans.py: subm need128 at blk 128 is ~298 vs ~423 at
+# blk 256) and gather MACs scale with span x M independent of blk, at the
+# price of 2x grid steps and 1.5x window DMA bytes.
+BLOCK = int(os.environ.get("TODA_FUSED_BLOCK", "256"))  # stride-1
+BLOCK_DOWN = int(os.environ.get("TODA_FUSED_BLOCK_DOWN", "128"))  # stride-2 fwd
+BLOCK_BWD = int(os.environ.get("TODA_FUSED_BLOCK_BWD", str(BLOCK)))
 # Window spans (lanes), env-tunable. Probed on the bs8 bench workload
 # (4 varied batches, r3): per-dy-group window need at blk 256 is max 325
 # with 8-aligned starts for all subm stages — but window starts must be
@@ -106,11 +111,11 @@ def _span_tiers(nsub):
 
 def _group_range(meta_ref, i, ts):
     """Union (smin, smax) 128-lane subwindow range over a group's taps."""
-    smin_g = meta_ref[i, 3 + ts[0]]
-    smax_g = meta_ref[i, 12 + ts[0]]
+    smin_g = meta_ref[i * 21 + 3 + ts[0]]
+    smax_g = meta_ref[i * 21 + 12 + ts[0]]
     for t in ts[1:]:
-        smin_g = jnp.minimum(smin_g, meta_ref[i, 3 + t])
-        smax_g = jnp.maximum(smax_g, meta_ref[i, 12 + t])
+        smin_g = jnp.minimum(smin_g, meta_ref[i * 21 + 3 + t])
+        smax_g = jnp.maximum(smax_g, meta_ref[i * 21 + 12 + t])
     return smin_g, smax_g
 
 
@@ -292,7 +297,9 @@ def _prologue(idx, n, span, block=BLOCK):
         jnp.concatenate(vlis, axis=2), valid.reshape(nblk, block, 9), span
     )
     meta = jnp.concatenate([lo3, smin, smax], axis=1)  # (nblk, 21)
-    return meta, li4, overflow
+    # FLAT (nblk*21,): Mosaic pads each row of a 2-D prefetched SMEM operand
+    # to 128 lanes, so (2048, 21) i32 would claim the full 1 MB SMEM budget
+    return meta.reshape(-1), li4, overflow
 
 
 # --------------------------------------------------------------------------
@@ -319,7 +326,7 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(meta_ref[blk, g], 128)
+            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
             pltpu.make_async_copy(
                 src.at[:, pl.ds(off, span)],
                 win.at[slot, g, pl.ds(c, w0)],
@@ -348,7 +355,7 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), span)],
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
             win.at[slot, g, pl.ds(c, w0)],
             sem.at[slot, g],
         ).wait()
@@ -432,8 +439,8 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             gbuf[pl.ds(c + w0, nrest)] = jnp.zeros((nrest, bsz), gbuf.dtype)
         else:
             g = t // 3
-            smin = meta_ref[i, 3 + t]
-            smax = meta_ref[i, 12 + t]
+            smin = meta_ref[i * 21 + 3 + t]
+            smax = meta_ref[i * 21 + 12 + t]
             onehot = (iota == li[t]).astype(gbuf.dtype)
             for b in range(NBUF):
                 for sub in range(nsub):
@@ -576,7 +583,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(meta_ref[blk, g], 128)
+            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
             pltpu.make_async_copy(
                 src.at[:, pl.ds(off, span)],
                 win.at[slot, g, pl.ds(ht * cout, w2)],
@@ -595,7 +602,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(meta_ref[i, g], 128), span)],
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
             win.at[slot, g, pl.ds(ht * cout, w2)],
             sem.at[slot, g],
         ).wait()
@@ -693,8 +700,8 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                                                                gbuf.dtype)
         else:
             g = t // 3
-            smin = meta_ref[i, 3 + t]
-            smax = meta_ref[i, 12 + t]
+            smin = meta_ref[i * 21 + 3 + t]
+            smax = meta_ref[i * 21 + 12 + t]
             onehot = (iota == li[t]).astype(gbuf.dtype)
             for b in range(NBUF):
                 for sub in range(nsub):
@@ -871,7 +878,7 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap):
         span=SPAN_SUBM if z_stride == 1 else SPAN_DOWN,
         span_bwd=SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN,
         blk_fwd=BLOCK if z_stride == 1 else BLOCK_DOWN,
-        blk_bwd=BLOCK,
+        blk_bwd=BLOCK_BWD,
     )
 
 

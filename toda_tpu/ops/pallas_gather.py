@@ -1017,9 +1017,11 @@ def _scatter_prologue(idx, n, m, span=None):
     )
     bsafe = jnp.where(b > 0, jnp.take(posv, jnp.maximum(b - 1, 0)) + 1, 0)
     overflow = nonmono | jnp.any(bsafe - c > span)
-    # per-tile index windows, built host-side from contiguous slices (cheap —
-    # nblk slice-DMAs, not m row-gathers); (nblk, span, 1) for blocked VMEM
-    tgt_win = jax.vmap(lambda ck: jax.lax.dynamic_slice(idx, (ck,), (span,)))(c)
+    # per-tile index windows. vmap(dynamic_slice) lowers to a sequential
+    # nblk-iteration XLA while loop (traced at 8.6 ms/step at nuScenes
+    # scale); one batched take lowers to a single gather
+    tgt_win = jnp.take(idx, c[:, None] + jnp.arange(span, dtype=jnp.int32),
+                       mode="clip")
     return c, tgt_win.astype(jnp.int32).reshape(nblk, span, 1), overflow
 
 
@@ -1100,3 +1102,148 @@ def scatter_rows_add(g, idx, n, out_dtype=None, span=None):
     idx2 = jnp.where(idx >= 0, idx + offs, -1).reshape(bt * m)
     out = _core_scatter(g.reshape(bt * m, w), idx2, bt * n, out_dtype, span)
     return out.reshape(bt, n, w)
+
+
+# --------------------------------------------------------------------------
+# packed-voxelizer unpack: scatter output -> transposed conv input
+# --------------------------------------------------------------------------
+#
+# The packed voxelizer scatter (ops/pillar_sparse.voxelize_pillars_batched)
+# produces (Bt, P*nz/8, 128) f32: row r holds 8 cells (cell = r*8+g), cell g
+# occupying lanes [g*16, g*16+16) as 2-way bf16-split pairs of (c features +
+# count). The backbone wants (nz*cpad, Bt*P) bf16 pillar-in-lane columns,
+# mean features on rows z*cpad+ch (ch < c), zeros elsewhere. Getting there
+# in XLA costs 4+ full relayout passes over 300+ MB intermediates (pair-sum,
+# (Bt, ncell, 8) reshape, count column slice, divide, bf16 cast, transpose,
+# channel pad — traced at ~35 ms/step at nuScenes scale). This kernel does
+# it in ONE pass: a static (128, 128) selector dot folds pair-sum + count
+# spread, the VPU does the masked divide + bf16 cast, and per-z-slab
+# identity dots emit the transpose on the MXU (no value relayouts).
+# Reference semantics: the mean-VFE + dense conv input formatting implied by
+# pcdet's spconv voxel features (pcdet/datasets/processor/data_processor.py
+# transform_points_to_voxels + mean VFE), re-laid-out for the TPU flow.
+
+
+def _unpack_sel(c):
+    """(128, 128) f32: columns 0..63 pair-sum (lane 2j + 2j+1 -> j), columns
+    64..127 spread the count pair (g*16+2c, +1) to all 8 lanes of cell g."""
+    s = np.zeros((128, 128), np.float32)
+    for j in range(64):
+        s[2 * j, j] = 1.0
+        s[2 * j + 1, j] = 1.0
+    for g in range(8):
+        for k in range(8):
+            s[g * 16 + 2 * c, 64 + g * 8 + k] = 1.0
+            s[g * 16 + 2 * c + 1, 64 + g * 8 + k] = 1.0
+    return s
+
+
+def _unpack_perm(blkp, nzr):
+    """(blkp*nzr, nzr*blkp) 0/1 permutation: row p*nzr+q -> column q*blkp+p
+    (the transpose-and-regroup the output assembly slices below expect)."""
+    e = np.zeros((blkp * nzr, nzr * blkp), np.float32)
+    for p_ in range(blkp):
+        for q in range(nzr):
+            e[p_ * nzr + q, q * blkp + p_] = 1.0
+    return e
+
+
+def _unpack_kernel(nzr, c, x_ref, sel_ref, perm_ref, o_ref):
+    blkp = o_ref.shape[1]
+    t = jax.lax.dot_general(
+        x_ref[0], sel_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (blkp*nzr, 128): [:, :64] sums, [:, 64:] counts
+    sums = t[:, :64]
+    cnt = jnp.maximum(jnp.round(t[:, 64:]), 1.0)
+    k_of_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1) % 8
+    y = jnp.where(k_of_lane < c, sums / cnt, 0.0).astype(o_ref.dtype)
+    # MXU transpose-and-regroup: one dot against a static permutation
+    # (Mosaic cannot shape-cast the (blkp, nzr, 64) sublane split directly)
+    z = jax.lax.dot_general(
+        y, perm_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)  # (64, nzr*blkp), column q*blkp+p
+    for q in range(nzr):
+        o_ref[q * 64 : (q + 1) * 64, :] = z[:, q * blkp : (q + 1) * blkp]
+
+
+def unpack_pillars_t_ref(out_scatter, nz, c, cpad, p):
+    """Pure-XLA reference: (Bt, P*nz/8, 128) f32 -> (nz*cpad, Bt*P) bf16."""
+    bt = out_scatter.shape[0]
+    o4 = out_scatter.reshape(bt, -1, 64, 2)
+    s64 = o4[..., 0] + o4[..., 1]  # (bt, R, 64)
+    sums = s64.reshape(bt, p * nz, 8)
+    cnt = jnp.maximum(jnp.round(sums[..., c]), 1.0)
+    feats = sums[..., :c] / cnt[..., None]
+    x = feats.reshape(bt, p, nz, c).astype(jnp.bfloat16)
+    x = x.transpose(2, 3, 0, 1).reshape(nz, c, bt * p)
+    x = jnp.pad(x, ((0, 0), (0, cpad - c), (0, 0)))
+    return x.reshape(nz * cpad, bt * p)
+
+
+def unpack_pillars_t_ok(nz, c, cpad, p):
+    return (
+        jax.default_backend() != "cpu"
+        and not INTERPRET_FORCED
+        and cpad == 8
+        and nz % 8 == 0
+        and 1 <= c <= 6
+        and p % 256 == 0
+    )
+
+
+INTERPRET_FORCED = False  # tests flip this to exercise the kernel on CPU
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def unpack_pillars_t(out_scatter, nz, c, cpad, p):
+    """Fused unpack of the packed voxelizer scatter output into the
+    transposed backbone input. Differentiable (reference VJP; the backward
+    only runs in adversarial-gradient contexts)."""
+    return _unpack_impl(out_scatter, nz, c, cpad, p)
+
+
+def _unpack_impl(out_scatter, nz, c, cpad, p):
+    if not unpack_pillars_t_ok(nz, c, cpad, p) and not INTERPRET_FORCED:
+        return unpack_pillars_t_ref(out_scatter, nz, c, cpad, p)
+    bt = out_scatter.shape[0]
+    blkp = 256
+    nzr = nz // 8
+    nblk = p // blkp
+    sel = jnp.asarray(_unpack_sel(c))
+    perm = jnp.asarray(_unpack_perm(blkp, nzr), jnp.bfloat16)
+    kern = functools.partial(_unpack_kernel, nzr, c)
+    return pl.pallas_call(
+        kern,
+        grid=(bt, nblk),
+        in_specs=[
+            pl.BlockSpec((1, blkp * nzr, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blkp * nzr, nzr * blkp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nz * cpad, blkp),
+                               lambda b, i: (0, b * (p // blkp) + i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz * cpad, bt * p), jnp.bfloat16),
+        interpret=INTERPRET_FORCED,
+    )(out_scatter, sel, perm)
+
+
+def _unpack_vjp_fwd(out_scatter, nz, c, cpad, p):
+    return _unpack_impl(out_scatter, nz, c, cpad, p), (out_scatter,)
+
+
+def _unpack_vjp_bwd(nz, c, cpad, p, res, g):
+    (out_scatter,) = res
+    _, vjp = jax.vjp(lambda o: unpack_pillars_t_ref(o, nz, c, cpad, p),
+                     out_scatter)
+    return vjp(g)
+
+
+unpack_pillars_t.defvjp(_unpack_vjp_fwd, _unpack_vjp_bwd)

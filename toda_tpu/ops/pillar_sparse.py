@@ -179,7 +179,7 @@ def _bf16_split2(x):
 
 
 def voxelize_pillars_batched(points, points_mask, voxel_size, pc_range,
-                             grid_size, max_pillars, nz):
+                             grid_size, max_pillars, nz, transposed_cpad=None):
     """Batched voxelize_pillars with a packed-lane pallas scatter for the
     per-cell sums (the .at[cell].add scatter is latency-bound at ~10 ns per
     update row — measured ~21 ms/step at nuScenes scale).
@@ -277,6 +277,20 @@ def voxelize_pillars_batched(points, points_mask, voxel_size, pc_range,
         out = scatter_rows_add(
             exp, rowid, ncell // 8, out_dtype=jnp.float32, span=640
         )  # (bt, ncell/8, 128)
+        from .pallas_gather import unpack_pillars_t, unpack_pillars_t_ok
+
+        if transposed_cpad is not None and unpack_pillars_t_ok(
+            nz, c, transposed_cpad, max_pillars
+        ):
+            # fused unpack: pair-sum + count divide + bf16 + transpose +
+            # channel pad in ONE kernel pass (the XLA chain below costs 4+
+            # relayout passes over 300+ MB, ~35 ms/step at nuScenes scale)
+            xt = unpack_pillars_t(out, nz, c, transposed_cpad, max_pillars)
+            return {
+                "xt": xt,
+                "pillar_coords": parts["pillar_coords"],
+                "pillar_mask": parts["pillar_mask"],
+            }
         # pair-sum the hi+lo bf16 splits in PACKED lane space first: the
         # direct (bt, ncell, 16) reshape + strided sum measured 9.4 + 8.4
         # ms/step at nuScenes scale (two full-tensor relayout passes of the
