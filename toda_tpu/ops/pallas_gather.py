@@ -1002,8 +1002,11 @@ def _scatter_prologue(idx, n, m, span=None):
     tile_starts = jnp.arange(nblk, dtype=jnp.int32) * BLOCK
     a = jnp.searchsorted(idxm, tile_starts, side="left").astype(jnp.int32)
     b = jnp.searchsorted(idxm, tile_starts + BLOCK, side="left").astype(jnp.int32)
-    c = (a // 8) * 8
-    c = jnp.minimum(c, ((m - span) // 8) * 8)
+    # 64-aligned window starts: lets the window table below be built from
+    # 64-element blocks. The ≤56-row extra slack is negligible vs the span
+    # (true post-compaction windows are ~100 rows, span is 512-640).
+    c = (a // 64) * 64
+    c = jnp.minimum(c, ((m - span) // 64) * 64)
     c = jnp.maximum(c, 0).astype(jnp.int32)
     # overflow must count only VALID rows in the window: with batched
     # (flattened) inputs each sample's invalid tail (idx=-1, cummax stuck)
@@ -1019,10 +1022,21 @@ def _scatter_prologue(idx, n, m, span=None):
     overflow = nonmono | jnp.any(bsafe - c > span)
     # per-tile index windows. vmap(dynamic_slice) lowers to a sequential
     # nblk-iteration XLA while loop (traced at 8.6 ms/step at nuScenes
-    # scale); one batched take lowers to a single gather
-    tgt_win = jnp.take(idx, c[:, None] + jnp.arange(span, dtype=jnp.int32),
-                       mode="clip")
-    return c, tgt_win.astype(jnp.int32).reshape(nblk, span, 1), overflow
+    # scale) and a batched element take to a 46 ms latency-bound gather;
+    # instead materialize a sliding-window table of 64-element blocks
+    # (span//64 shifted lane-concats, contiguous copies) and row-gather it
+    # WIDE (nblk rows x span lanes — row gathers are latency-bound per ROW,
+    # so wide rows are ~free). Requires the 64-aligned starts above.
+    nw = span // 64
+    m64 = -(-m // 64) * 64
+    idx64 = jnp.pad(idx.astype(jnp.int32), (0, m64 - m),
+                    constant_values=-1).reshape(m64 // 64, 64)
+    idx64 = jnp.pad(idx64, ((0, nw - 1), (0, 0)), constant_values=-1)
+    win_tab = jnp.concatenate(
+        [idx64[k : k + m64 // 64] for k in range(nw)], axis=1
+    )  # (m64/64, span): row r = idx[64r : 64r+span]
+    tgt_win = jnp.take(win_tab, c // 64, axis=0)
+    return c, tgt_win.reshape(nblk, span, 1), overflow
 
 
 def _core_scatter(g, idx, n, out_dtype=None, span=None):
