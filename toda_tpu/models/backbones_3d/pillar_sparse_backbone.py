@@ -25,11 +25,10 @@ import numpy as np
 
 from ...ops import pallas_fused_conv as pfc
 from ...ops.pillar_sparse import (
-    bev_down_tables,
+    bev_down_tables_batched,
     bev_downsample_sites,
-    bev_inv_neighbor_idx_sorted,
     bev_neighbor_idx,
-    bev_neighbor_idx_sorted,
+    bev_neighbor_idx_sorted_batched,
     build_bev_map,
     pillar_conv3d,
     pillar_conv3d_t,
@@ -382,9 +381,8 @@ class _PillarBackboneBase(nn.Module):
         cur_nz = nz
 
         def subm_tables(coords, mask, bev_shape, p_in):
-            nbr = jax.vmap(
-                lambda cc, mm: bev_neighbor_idx_sorted(cc, mm, cc, mm, bev_shape, 1)
-            )(coords, mask)
+            nbr = bev_neighbor_idx_sorted_batched(
+                coords, mask, coords, mask, bev_shape, 1)
             return fold_idx(nbr, p_in)
 
         multi_scale = {}
@@ -419,12 +417,9 @@ class _PillarBackboneBase(nn.Module):
                 lambda c_, m_: bev_downsample_sites(c_, m_, 2, p_out, bev_shape)
             )(coords, mask)
             coarse_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
-            # forward + inverse tables from ONE merged rank sort
-            nbr, inv = jax.vmap(
-                lambda fc, fm, cc, cm: bev_down_tables(
-                    fc, fm, cc, cm, bev_shape, coarse_shape
-                )
-            )(coords, mask, new_coords, new_mask)
+            # forward + inverse tables from windowed rank counts
+            nbr, inv = bev_down_tables_batched(
+                coords, mask, new_coords, new_mask, bev_shape, coarse_shape)
             new_maskf = new_mask.reshape(bt * p_out)
             if use_fused:
                 x, aff = PillarConvLayerT(ch, cur_nz, z_stride=2,

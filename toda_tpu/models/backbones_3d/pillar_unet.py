@@ -18,8 +18,8 @@ import jax.numpy as jnp
 
 from ...ops.pillar_sparse import (
     bev_downsample_sites,
-    bev_inv_neighbor_idx_sorted,
-    bev_neighbor_idx_sorted,
+    bev_inv_neighbor_idx_sorted_batched,
+    bev_neighbor_idx_sorted_batched,
     pillar_conv3d,
     pillar_inv_conv3d,
     pillars_to_dense,
@@ -84,9 +84,8 @@ class UNetV2(nn.Module):
             new_coords, new_mask = jax.vmap(
                 lambda c, m: bev_downsample_sites(c, m, 2, caps[si - 1], bev_shape)
             )(coords, mask)
-            nbr = jax.vmap(
-                lambda oc, om, ic, im: bev_neighbor_idx_sorted(ic, im, oc, om, bev_shape, 2)
-            )(new_coords, new_mask, coords, mask)
+            nbr = bev_neighbor_idx_sorted_batched(
+                coords, mask, new_coords, new_mask, bev_shape, 2)
             x = PillarConvLayer(ch, z_stride=2, name=f"down{si}")(x, nbr, new_mask, training)
             coords, mask = new_coords, new_mask
             bev_shape = (-(-bev_shape[0] // 2), -(-bev_shape[1] // 2))
@@ -126,11 +125,8 @@ class UNetV2(nn.Module):
                 b, p, nzk, ch, c2 // ch
             ).sum(axis=-1)
             merged = merged + red
-            inv_nbr = jax.vmap(
-                lambda cc, cm, fc, fm: bev_inv_neighbor_idx_sorted(
-                    cc, cm, fc, fm, lat_shape
-                )
-            )(lat_coords, lat_mask, fine_coords, fine_mask)
+            inv_nbr = bev_inv_neighbor_idx_sorted_batched(
+                lat_coords, lat_mask, fine_coords, fine_mask, lat_shape)
             up = PillarInvConvLayer(
                 fine_x.shape[-1], nz_fine=fine_nz, name=f"up_inv{k}"
             )(merged, inv_nbr, fine_mask, training)

@@ -868,6 +868,74 @@ def _merge_ranks(key, enc, kmax):
     return ranks_un[p:]
 
 
+def _window_ranks(key, enc2d, kmax, span):
+    """Windowed rank count: for each query column (ascending over sites),
+    rank = #key-encodes < enc, counted inside a span-window of the sorted
+    key array around a coarse-estimated start. Replaces the lax.sort pair of
+    _merge_ranks (the sorts measured ~33 ms/step combined at nuScenes bs8)
+    with pure fused compare-reduces + one tiny one-hot window dot.
+
+    key (P,) i32 ascending, INT_MAX = pad; enc2d (Q, S) EVEN encodes (query
+    q -> 2q). Returns (ranks (Q, S) i32, overflow bool). Exact whenever
+    every query's rank lies within [64*t, 64*t + span) of its block's
+    coarse start t — `overflow` reports violations at runtime so callers
+    can lax.cond into the exact sort path.
+
+    Why exact: with t = #(coarse < block_min) over coarse = kenc[63::64],
+    all keys at index < 64*t are < block_min <= q (keys ascending), so they
+    are all counted by the 64*t base; the window covers indices
+    [64*t, 64*t+span); `covered` certifies no key beyond the window is < q.
+    """
+    p = key.shape[0]
+    q_, s = enc2d.shape
+    sent = 2 * kmax + 3
+    kenc = jnp.where(key == INT_MAX, sent, 2 * key + 1)
+    q = jnp.clip(enc2d, 0, 2 * kmax + 2)
+    nw = span // 64
+    k64 = jnp.pad(kenc.reshape(p // 64, 64), ((0, nw - 1), (0, 0)),
+                  constant_values=sent)
+    win_tab = jnp.concatenate(
+        [k64[j : j + p // 64] for j in range(nw)], axis=1
+    ).astype(jnp.float32)  # (p/64, span); encodes < 2^24 are exact in f32
+    coarse = kenc[63::64]  # (p/64,)
+    nqb = q_ // 128
+    qb = q.reshape(nqb, 128, s)
+    qmin = qb.min(axis=1)  # (nqb, s) — NOT row 0: clipped invalid tails may
+    qmax = qb.max(axis=1)  # break per-block ascending order
+    t = jnp.sum(coarse[None, None, :] < qmin[:, :, None], axis=-1)
+    lo = jnp.minimum(t, p // 64 - 1).astype(jnp.int32)
+    # window rows via one-hot f32 dot (row gathers are latency-bound ~60ns).
+    # HIGHEST precision: the default TPU f32 dot is a single bf16 pass,
+    # which would round the ~2^21 key encodes (measured: silently wrong
+    # ranks, overflow check fooled too)
+    oh = (lo.reshape(-1)[:, None]
+          == jnp.arange(p // 64, dtype=jnp.int32)[None]).astype(jnp.float32)
+    win = jax.lax.dot(oh, win_tab,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).reshape(nqb, s, span)
+    qf = qb.astype(jnp.float32)
+    cnt = jnp.sum(
+        (win[:, None, :, :] < qf[:, :, :, None]), axis=-1, dtype=jnp.int32
+    )  # (nqb, 128, s)
+    ranks = 64 * lo[:, None, :] + cnt
+    covered = (qmax <= win[..., -1]) | (64 * lo + span >= p)
+    return ranks.reshape(q_, s), ~jnp.all(covered)
+
+
+def _ranks_auto(key, enc2d, kmax, span):
+    """_merge_ranks semantics for per-column query matrices: windowed count
+    when shapes allow, exact sort fallback on window overflow."""
+    q_, s = enc2d.shape
+    if q_ % 128 != 0 or key.shape[0] % 64 != 0 or key.shape[0] < span:
+        return _merge_ranks(key, enc2d.reshape(-1), kmax).reshape(q_, s)
+    ranks, overflow = _window_ranks(key, enc2d, kmax, span)
+    return jax.lax.cond(
+        overflow,
+        lambda: _merge_ranks(key, enc2d.reshape(-1), kmax).reshape(q_, s),
+        lambda: ranks,
+    )
+
+
 def _ranks_of_queries(key, nbkey, kmax):
     """(left, right) ranks of each query: #keys < q and #keys <= q."""
     q = 2 * jnp.clip(nbkey, 0, kmax)
@@ -882,20 +950,31 @@ def _tap_offsets():
     )
 
 
-@partial(jax.jit, static_argnames=("bev_shape", "stride"))
-def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
-                            stride=1):
-    """Neighbor table via rank-merge on the (sorted) input BEV keys.
+def _ranks_auto_batched(keys, enc3, kmax, span):
+    """Batched _merge_ranks semantics: keys (B, P), enc3 (B, Q, S) with each
+    query column ascending per sample. ONE overflow cond across the whole
+    batch — crucially NOT under vmap (lax.cond under vmap lowers to select
+    and executes BOTH branches, paying the sorts AND the windows)."""
+    b, q_, s = enc3.shape
+    p = keys.shape[1]
 
-    Replaces build_bev_map + bev_neighbor_idx: the dense (ny*nx) slot map costs
-    a large scatter and a tiny-element gather (both latency-bound); this rides
-    lax.sort instead (_ranks_of_queries). For the submanifold case (stride 1,
-    identical sets) the center tap is the identity and the +-1-column taps are
-    shift-compares, so only the six row taps need the sort. Requires in_coords
-    ascending by BEV key (the voxelizer/downsampler convention).
-    """
+    def slow():
+        return jax.vmap(
+            lambda k, e: _merge_ranks(k, e.reshape(-1), kmax).reshape(q_, s)
+        )(keys, enc3)
+
+    if q_ % 128 != 0 or p % 64 != 0 or p < span:
+        return slow()
+    ranks, ovf = jax.vmap(lambda k, e: _window_ranks(k, e, kmax, span))(
+        keys, enc3)
+    return jax.lax.cond(jnp.any(ovf), slow, lambda: ranks)
+
+
+def _subm_parts(in_coords, in_mask, out_coords, out_mask, bev_shape, stride,
+                subm):
+    """Per-sample elementwise half of bev_neighbor_idx_sorted: key array,
+    rank-query encodes, and tap validity (vmappable, no sort/cond)."""
     ny, nx = bev_shape
-    p_in = in_coords.shape[0]
     key = jnp.where(
         in_mask, in_coords[:, 0] * nx + in_coords[:, 1], INT_MAX
     ).astype(jnp.int32)
@@ -905,31 +984,29 @@ def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
     ok = (
         (nb[..., 0] >= 0) & (nb[..., 0] < ny) & (nb[..., 1] >= 0) & (nb[..., 1] < nx)
     ) & out_mask[:, None]
-    nbkey = jnp.where(ok, nb[..., 0] * nx + nb[..., 1], -1)
-
-    subm = stride == 1 and out_coords.shape[0] == p_in
     dys = (-1, 1) if subm else (-1, 0, 1)
-    kmax = ny * nx
-
     # per dy the three column taps query CONSECUTIVE keys (q-1, q, q+1), so
     # left(q+1) == right(q) and 4 encodes {2q-2, 2q, 2q+2, 2q+4} rank the
     # whole triplet
     base_key = out_coords[:, 0] * stride * nx + out_coords[:, 1] * stride
     encs = []
     for dy in dys:
-        q = base_key + dy * nx  # negative / overflow encodes are clipped by
+        q = base_key + dy * nx
         encs.append(jnp.stack([2 * q - 2, 2 * q, 2 * q + 2, 2 * q + 4], axis=1))
-        # _merge_ranks and those taps are masked by `ok` anyway
     enc = jnp.stack(encs, axis=1)  # (P_out, ndy, 4)
-    r = _merge_ranks(key, enc.reshape(-1), kmax).reshape(enc.shape)
+    return key, enc, ok
 
+
+def _subm_assemble(r, key, ok, out_mask, stride, subm):
+    """Per-sample assembly half: ranks -> (P_out, 9) neighbor table."""
+    dys = (-1, 1) if subm else (-1, 0, 1)
+    p_in = key.shape[0]
     cols = {}
     for j, dy in enumerate(dys):
         for k, dx in enumerate((-1, 0, 1)):
             t = (dy + 1) * 3 + (dx + 1)
             hit = r[:, j, k + 1] > r[:, j, k]
             cols[t] = jnp.where(ok[:, t] & hit, r[:, j, k], -1).astype(jnp.int32)
-
     if subm:
         # center = self; +-1 column = shift-compare against the adjacent slot
         iota = jnp.arange(p_in, dtype=jnp.int32)
@@ -940,6 +1017,105 @@ def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
         cols[5] = jnp.where(ok[:, 5] & nxt_hit, iota + 1, -1)
         cols[3] = jnp.where(ok[:, 3] & prv_hit, iota - 1, -1)
     return jnp.stack([cols[t] for t in range(9)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("bev_shape", "stride"))
+def bev_neighbor_idx_sorted_batched(in_coords, in_mask, out_coords, out_mask,
+                                    bev_shape, stride=1):
+    """Batched neighbor tables (leading batch dim on every array arg): the
+    rank stage runs once over the batch with a single overflow cond (see
+    _ranks_auto_batched). Same semantics as vmap(bev_neighbor_idx_sorted)."""
+    ny, nx = bev_shape
+    subm = stride == 1 and out_coords.shape[1] == in_coords.shape[1]
+    key, enc, ok = jax.vmap(
+        lambda ic, im, oc, om: _subm_parts(ic, im, oc, om, bev_shape, stride,
+                                           subm)
+    )(in_coords, in_mask, out_coords, out_mask)
+    b, po, ndy, four = enc.shape
+    r = _ranks_auto_batched(key, enc.reshape(b, po, ndy * 4), ny * nx,
+                            512 if stride == 1 else 768)
+    r = r.reshape(b, po, ndy, 4)
+    return jax.vmap(
+        lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, stride, subm)
+    )(r, key, ok, out_mask)
+
+
+@partial(jax.jit, static_argnames=("bev_shape", "stride"))
+def bev_neighbor_idx_sorted(in_coords, in_mask, out_coords, out_mask, bev_shape,
+                            stride=1):
+    """Neighbor table via windowed rank counts on the (sorted) input BEV keys.
+
+    Replaces build_bev_map + bev_neighbor_idx: the dense (ny*nx) slot map costs
+    a large scatter and a tiny-element gather (both latency-bound); ranks ride
+    _window_ranks (fused compare-counts; exact sort fallback on window
+    overflow). For the submanifold case (stride 1, identical sets) the center
+    tap is the identity and the +-1-column taps are shift-compares, so only
+    the six row taps need ranks. Requires in_coords ascending by BEV key (the
+    voxelizer/downsampler convention). Batched callers should prefer
+    bev_neighbor_idx_sorted_batched (single overflow cond, no cond-under-vmap
+    double evaluation).
+    """
+    return bev_neighbor_idx_sorted_batched(
+        in_coords[None], in_mask[None], out_coords[None], out_mask[None],
+        bev_shape, stride)[0]
+
+
+def _inv_parts(coarse_coords, coarse_mask, fine_coords, fine_mask,
+               coarse_bev_shape):
+    """Per-sample elementwise half of bev_inv_neighbor_idx_sorted."""
+    ny, nx = coarse_bev_shape
+    key = jnp.where(
+        coarse_mask, coarse_coords[:, 0] * nx + coarse_coords[:, 1], INT_MAX
+    ).astype(jnp.int32)
+    offs = jnp.asarray(
+        [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)], dtype=jnp.int32
+    )
+    num = fine_coords[:, None, :] - (offs[None] - 1)  # 2*coarse = fine - (d-1)
+    integral = (num % 2 == 0).all(axis=-1)
+    o = num // 2
+    ok = (
+        integral
+        & (o[..., 0] >= 0) & (o[..., 0] < ny) & (o[..., 1] >= 0) & (o[..., 1] < nx)
+        & fine_mask[:, None]
+    )
+    # per dy, the (<=2) integral x-candidates are CONSECUTIVE coarse keys
+    # (fx odd -> (fx-1)/2 and (fx+1)/2; fx even -> fx/2), so one triplet of
+    # encodes {2q0, 2q0+2, 2q0+4} with q0 = oy*nx + (fx-1)//2 ranks them all
+    fx = fine_coords[:, 1]
+    o0x = (fx - 1) // 2
+    encs = []
+    for dy in (0, 1, 2):
+        oy = (fine_coords[:, 0] - (dy - 1)) // 2
+        q0 = oy * nx + o0x
+        encs.append(jnp.stack([2 * q0, 2 * q0 + 2, 2 * q0 + 4], axis=1))
+    enc = jnp.stack(encs, axis=1)  # (P_f, 3, 3)
+    return key, enc, ok, o, o0x
+
+
+def _inv_assemble(r, ok, o, o0x):
+    cols = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        ox = o[:, t, 1]
+        sel = jnp.clip(ox - o0x, 0, 1)  # which consecutive candidate
+        left = jnp.where(sel == 0, r[:, dy, 0], r[:, dy, 1])
+        right = jnp.where(sel == 0, r[:, dy, 1], r[:, dy, 2])
+        cols.append(jnp.where(ok[:, t] & (right > left), left, -1).astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("coarse_bev_shape",))
+def bev_inv_neighbor_idx_sorted_batched(coarse_coords, coarse_mask,
+                                        fine_coords, fine_mask,
+                                        coarse_bev_shape):
+    """Batched transposed-conv table (see bev_inv_neighbor_idx_sorted)."""
+    ny, nx = coarse_bev_shape
+    key, enc, ok, o, o0x = jax.vmap(
+        lambda cc, cm, fc, fm: _inv_parts(cc, cm, fc, fm, coarse_bev_shape)
+    )(coarse_coords, coarse_mask, fine_coords, fine_mask)
+    b, pf = enc.shape[:2]
+    r = _ranks_auto_batched(key, enc.reshape(b, pf, 9), ny * nx, 512)
+    return jax.vmap(_inv_assemble)(r.reshape(b, pf, 3, 3), ok, o, o0x)
 
 
 @partial(jax.jit, static_argnames=("coarse_bev_shape",))
@@ -953,128 +1129,49 @@ def bev_inv_neighbor_idx_sorted(coarse_coords, coarse_mask, fine_coords, fine_ma
     spconv.SparseInverseConv3d in pcdet/models/backbones_3d/spconv_unet.py).
     Returns (P_fine, 9) int32, -1 = missing.
     """
-    ny, nx = coarse_bev_shape
-    key = jnp.where(
-        coarse_mask, coarse_coords[:, 0] * nx + coarse_coords[:, 1], INT_MAX
-    ).astype(jnp.int32)
-    offs = jnp.asarray(
-        [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)], dtype=jnp.int32
-    )
-    num = fine_coords[:, None, :] - (offs[None] - 1)  # 2*coarse = fine - (d - 1)
-    integral = (num % 2 == 0).all(axis=-1)
-    o = num // 2
-    ok = (
-        integral
-        & (o[..., 0] >= 0) & (o[..., 0] < ny) & (o[..., 1] >= 0) & (o[..., 1] < nx)
-        & fine_mask[:, None]
-    )
-    # per dy, the (<=2) integral x-candidates are CONSECUTIVE coarse keys
-    # (fx odd -> (fx-1)/2 and (fx+1)/2; fx even -> fx/2), so one triplet of
-    # encodes {2q0, 2q0+2, 2q0+4} with q0 = oy*nx + (fx-1)//2 ranks them all
-    kmax = ny * nx
-    fx = fine_coords[:, 1]
-    o0x = (fx - 1) // 2
-    encs = []
-    oys = []
-    for dy in (0, 1, 2):
-        oy = (fine_coords[:, 0] - (dy - 1)) // 2
-        oys.append(oy)
-        q0 = oy * nx + o0x
-        encs.append(jnp.stack([2 * q0, 2 * q0 + 2, 2 * q0 + 4], axis=1))
-    enc = jnp.stack(encs, axis=1)  # (P_f, 3, 3)
-    r = _merge_ranks(key, enc.reshape(-1), kmax).reshape(enc.shape)
+    return bev_inv_neighbor_idx_sorted_batched(
+        coarse_coords[None], coarse_mask[None], fine_coords[None],
+        fine_mask[None], coarse_bev_shape)[0]
 
-    cols = []
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        ox = o[:, t, 1]
-        sel = jnp.clip(ox - o0x, 0, 1)  # which consecutive candidate
-        left = jnp.where(sel == 0, r[:, dy, 0], r[:, dy, 1])
-        right = jnp.where(sel == 0, r[:, dy, 1], r[:, dy, 2])
-        cols.append(jnp.where(ok[:, t] & (right > left), left, -1).astype(jnp.int32))
-    return jnp.stack(cols, axis=1)
+
+@partial(jax.jit, static_argnames=("bev_shape", "coarse_bev_shape"))
+def bev_down_tables_batched(fine_coords, fine_mask, coarse_coords, coarse_mask,
+                            bev_shape, coarse_bev_shape):
+    """Both downsample-stage tables — the k=3 s=2 forward neighbor table
+    (coarse outputs -> fine inputs) AND its inverse (fine -> coarse slots of
+    the transposed conv) — from windowed rank counts (sort-free; exact
+    rank-merge sort fallback on window overflow, decided ONCE per batch).
+    Batched: every array arg carries a leading batch dim."""
+    ny, nx = bev_shape
+    fkey, enc_f, ok_f = jax.vmap(
+        lambda fc, fm, cc, cm: _subm_parts(fc, fm, cc, cm, bev_shape, 2,
+                                           False)
+    )(fine_coords, fine_mask, coarse_coords, coarse_mask)
+    ckey, enc_i, ok_i, o, o0x = jax.vmap(
+        lambda cc, cm, fc, fm: _inv_parts(cc, cm, fc, fm, coarse_bev_shape)
+    )(coarse_coords, coarse_mask, fine_coords, fine_mask)
+    b, pc = enc_f.shape[:2]
+    pf = enc_i.shape[1]
+    # down-forward rank spreads reach ~620 per 128-query block
+    # (tools/probe_group_spans.py) -> span 768
+    r_f = _ranks_auto_batched(fkey, enc_f.reshape(b, pc, 12), ny * nx, 768)
+    r_i = _ranks_auto_batched(ckey, enc_i.reshape(b, pf, 9),
+                              coarse_bev_shape[0] * coarse_bev_shape[1], 512)
+    nbr = jax.vmap(
+        lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, 2, False)
+    )(r_f.reshape(b, pc, 3, 4), fkey, ok_f, coarse_mask)
+    inv = jax.vmap(_inv_assemble)(r_i.reshape(b, pf, 3, 3), ok_i, o, o0x)
+    return nbr, inv
 
 
 @partial(jax.jit, static_argnames=("bev_shape", "coarse_bev_shape"))
 def bev_down_tables(fine_coords, fine_mask, coarse_coords, coarse_mask,
                     bev_shape, coarse_bev_shape):
-    """Both downsample-stage tables — the k=3 s=2 forward neighbor table
-    (coarse outputs -> fine inputs) AND its inverse (fine -> coarse slots of
-    the transposed conv) — with ONE merged lax.sort pair via
-    _merge_ranks_multi, instead of the two independent rank-merge sorts of
-    bev_neighbor_idx_sorted + bev_inv_neighbor_idx_sorted (sorts measured
-    ~9 ms/step combined at nuScenes bs8)."""
-    ny, nx = bev_shape
-    cny, cnx = coarse_bev_shape
-    p_in = fine_coords.shape[0]
-
-    # ---- forward-table encodes (bev_neighbor_idx_sorted, stride 2) ----
-    fkey = jnp.where(
-        fine_mask, fine_coords[:, 0] * nx + fine_coords[:, 1], INT_MAX
-    ).astype(jnp.int32)
-    offs = _tap_offsets()
-    base = coarse_coords * 2
-    nb = base[:, None, :] + offs[None]
-    ok_f = (
-        (nb[..., 0] >= 0) & (nb[..., 0] < ny) & (nb[..., 1] >= 0) & (nb[..., 1] < nx)
-    ) & coarse_mask[:, None]
-    kmax_f = ny * nx
-    base_key = coarse_coords[:, 0] * 2 * nx + coarse_coords[:, 1] * 2
-    encs = []
-    for dy in (-1, 0, 1):
-        q = base_key + dy * nx
-        encs.append(jnp.stack([2 * q - 2, 2 * q, 2 * q + 2, 2 * q + 4], axis=1))
-    enc_f = jnp.stack(encs, axis=1)  # (P_out, 3, 4)
-
-    # ---- inverse-table encodes (bev_inv_neighbor_idx_sorted) ----
-    ckey = jnp.where(
-        coarse_mask, coarse_coords[:, 0] * cnx + coarse_coords[:, 1], INT_MAX
-    ).astype(jnp.int32)
-    ioffs = jnp.asarray(
-        [(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)], dtype=jnp.int32
-    )
-    num = fine_coords[:, None, :] - (ioffs[None] - 1)
-    integral = (num % 2 == 0).all(axis=-1)
-    o = num // 2
-    ok_i = (
-        integral
-        & (o[..., 0] >= 0) & (o[..., 0] < cny) & (o[..., 1] >= 0) & (o[..., 1] < cnx)
-        & fine_mask[:, None]
-    )
-    kmax_i = cny * cnx
-    fx = fine_coords[:, 1]
-    o0x = (fx - 1) // 2
-    iencs = []
-    for dy in (0, 1, 2):
-        oy = (fine_coords[:, 0] - (dy - 1)) // 2
-        q0 = oy * cnx + o0x
-        iencs.append(jnp.stack([2 * q0, 2 * q0 + 2, 2 * q0 + 4], axis=1))
-    enc_i = jnp.stack(iencs, axis=1)  # (P_f, 3, 3)
-
-    r_f, r_i = _merge_ranks_multi([
-        (fkey, enc_f.reshape(-1), kmax_f),
-        (ckey, enc_i.reshape(-1), kmax_i),
-    ])
-    r_f = r_f.reshape(enc_f.shape)
-    r_i = r_i.reshape(enc_i.shape)
-
-    cols = []
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        hit = r_f[:, dy, dx + 1] > r_f[:, dy, dx]
-        cols.append(jnp.where(ok_f[:, t] & hit, r_f[:, dy, dx], -1).astype(jnp.int32))
-    nbr = jnp.stack(cols, axis=1)
-
-    icols = []
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        ox = o[:, t, 1]
-        sel = jnp.clip(ox - o0x, 0, 1)
-        left = jnp.where(sel == 0, r_i[:, dy, 0], r_i[:, dy, 1])
-        right = jnp.where(sel == 0, r_i[:, dy, 1], r_i[:, dy, 2])
-        icols.append(jnp.where(ok_i[:, t] & (right > left), left, -1).astype(jnp.int32))
-    inv = jnp.stack(icols, axis=1)
-    return nbr, inv
+    """Per-sample convenience form of bev_down_tables_batched."""
+    nbr, inv = bev_down_tables_batched(
+        fine_coords[None], fine_mask[None], coarse_coords[None],
+        coarse_mask[None], bev_shape, coarse_bev_shape)
+    return nbr[0], inv[0]
 
 
 def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_fine):
