@@ -1035,6 +1035,10 @@ def _scatter_prologue(idx, n, m, span=None):
     win_tab = jnp.concatenate(
         [idx64[k : k + m64 // 64] for k in range(nw)], axis=1
     )  # (m64/64, span): row r = idx[64r : 64r+span]
+    # barrier: without it XLA fuses the shifted-concat INTO the take as a
+    # per-element nw-way select chain (traced 10 ms/step); materialized, the
+    # take is a plain wide-row gather (~1 ms)
+    win_tab = jax.lax.optimization_barrier(win_tab)
     tgt_win = jnp.take(win_tab, c // 64, axis=0)
     return c, tgt_win.reshape(nblk, span, 1), overflow
 

@@ -1032,8 +1032,10 @@ def bev_neighbor_idx_sorted_batched(in_coords, in_mask, out_coords, out_mask,
                                            subm)
     )(in_coords, in_mask, out_coords, out_mask)
     b, po, ndy, four = enc.shape
+    # spans: measured per-128-query rank spreads (tools/probe_group_spans.py
+    # need8) + 64 alignment slack; overflow falls back to the exact sort
     r = _ranks_auto_batched(key, enc.reshape(b, po, ndy * 4), ny * nx,
-                            512 if stride == 1 else 768)
+                            320 if stride == 1 else 704)
     r = r.reshape(b, po, ndy, 4)
     return jax.vmap(
         lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, stride, subm)
@@ -1114,7 +1116,7 @@ def bev_inv_neighbor_idx_sorted_batched(coarse_coords, coarse_mask,
         lambda cc, cm, fc, fm: _inv_parts(cc, cm, fc, fm, coarse_bev_shape)
     )(coarse_coords, coarse_mask, fine_coords, fine_mask)
     b, pf = enc.shape[:2]
-    r = _ranks_auto_batched(key, enc.reshape(b, pf, 9), ny * nx, 512)
+    r = _ranks_auto_batched(key, enc.reshape(b, pf, 9), ny * nx, 384)
     return jax.vmap(_inv_assemble)(r.reshape(b, pf, 3, 3), ok, o, o0x)
 
 
@@ -1154,9 +1156,9 @@ def bev_down_tables_batched(fine_coords, fine_mask, coarse_coords, coarse_mask,
     pf = enc_i.shape[1]
     # down-forward rank spreads reach ~620 per 128-query block
     # (tools/probe_group_spans.py) -> span 768
-    r_f = _ranks_auto_batched(fkey, enc_f.reshape(b, pc, 12), ny * nx, 768)
+    r_f = _ranks_auto_batched(fkey, enc_f.reshape(b, pc, 12), ny * nx, 704)
     r_i = _ranks_auto_batched(ckey, enc_i.reshape(b, pf, 9),
-                              coarse_bev_shape[0] * coarse_bev_shape[1], 512)
+                              coarse_bev_shape[0] * coarse_bev_shape[1], 384)
     nbr = jax.vmap(
         lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, 2, False)
     )(r_f.reshape(b, pc, 3, 4), fkey, ok_f, coarse_mask)
