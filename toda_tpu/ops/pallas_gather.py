@@ -943,21 +943,27 @@ def _scatter_kernel(c_ref, t_ref, g_hbm, out_ref, win, sem):
     off = pl.multiple_of(c_ref[k], 8)
     pltpu.make_async_copy(g_hbm.at[pl.ds(off, s)], win.at[slot], sem.at[slot]).wait()
 
-    tw = t_ref[0]  # (S, 1) global target indices of this tile's input window
+    tw = t_ref[0]  # (S/64, 64) global target indices of this tile's window:
+    # dense lanes — the earlier (S, 1) sublane layout forced a 128x-padded
+    # HBM tensor (one lane of 128 used; its copy+select traced 15 ms/step)
     b = out_ref.shape[0]
-    # onehot[j, r] = 1 iff input row (c_k + j) targets out row (k*B + r);
-    # rows outside this tile (or invalid, idx=-1) match nothing.
-    onehot = (
-        tw == jax.lax.broadcasted_iota(jnp.int32, (s, b), 1) + k * b
-    ).astype(out_ref.dtype)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, 64), 0) + k * b
+    # onehot[r, j] = 1 iff input row (c_k + j) targets out row (k*B + r);
+    # one accumulating (B, 64) x (64, W) dot per 64-row window chunk (no
+    # transpose, no lane-concat)
 
     def dot(gw):
-        return jax.lax.dot_general(
-            onehot,
-            gw,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        acc = None
+        for j in range(s // 64):
+            piece = (tw[j][None, :] == ids).astype(gw.dtype)
+            contrib = jax.lax.dot_general(
+                piece,
+                gw[j * 64 : (j + 1) * 64],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = contrib if acc is None else acc + contrib
+        return acc.astype(out_ref.dtype)
 
     for b_ in range(nbuf):
         @pl.when(slot == b_)
@@ -974,7 +980,8 @@ def _pallas_scatter(g, tgt_win, c, n, out_dtype=None, span=None):
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, span, 1), lambda k, c: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span // 64, 64), lambda k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLOCK, w), lambda k, c: (k, 0), memory_space=pltpu.VMEM),
@@ -1040,7 +1047,7 @@ def _scatter_prologue(idx, n, m, span=None):
     # take is a plain wide-row gather (~1 ms)
     win_tab = jax.lax.optimization_barrier(win_tab)
     tgt_win = jnp.take(win_tab, c // 64, axis=0)
-    return c, tgt_win.reshape(nblk, span, 1), overflow
+    return c, tgt_win.reshape(nblk, span // 64, 64), overflow
 
 
 def _core_scatter(g, idx, n, out_dtype=None, span=None):
