@@ -89,6 +89,8 @@ LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
 # dscale/dshift reductions outweigh the per-layer dot savings that the
 # in-kernel fused backward avoids. Default off; knob kept for A/B.
 MIXED_BWD = int(os.environ.get("TODA_FUSED_MIXED_BWD", "0"))
+# timing-diagnostic ONLY (wrong dW when 1): skip the in-kernel dW dots
+SKIP_DW = int(os.environ.get("TODA_FUSED_SKIP_DW", "0"))
 
 
 def _fwd_slots(identity):
@@ -248,7 +250,7 @@ def band_bwd_weights(w, zg2, z_stride):
 
 
 def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
-    """dwacc (9, zg2*c, K2slabs*cout) f32 -> dW (3,3,3,c,cout).
+    """dwacc (9, K2slabs*cout, zg2*c) f32 -> dW (3,3,3,c,cout).
 
     dwacc_t holds, summed over blocks and z-groups, the lane contraction of
     xb group rows against gathered-gy group rows; the (k, dz) band cells are
@@ -257,8 +259,8 @@ def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
     as one einsum."""
     k2 = bwd_band_slabs(zg2, z_stride)
     sel = jnp.asarray(_bwd_band_sel(zg2, z_stride), dwacc.dtype)
-    d5 = dwacc.reshape(9, zg2, c, k2, cout)
-    dw = jnp.einsum("dSk,tkiSo->dtio", sel, d5)
+    d5 = dwacc.reshape(9, k2, cout, zg2, c)
+    dw = jnp.einsum("dSk,tSoki->dtio", sel, d5)
     return dw.reshape(3, 3, 3, c, cout).astype(dtype)
 
 
@@ -576,10 +578,12 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                         (nrest, span), win.dtype
                     )
         dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
-        # pad rows of the xb block buffer (beyond nz_in*c) stay zero
-        nxrest = xbb.shape[0] - w0
+        # pad lanes of the TRANSPOSED xb block buffer (beyond nz_in*c)
+        # stay zero
+        nxrest = xbb.shape[1] - w0
         if nxrest:
-            xbb[pl.ds(w0, nxrest)] = jnp.zeros((nxrest, xbb.shape[1]), xbb.dtype)
+            xbb[:, pl.ds(w0, nxrest)] = jnp.zeros((xbb.shape[0], nxrest),
+                                                  xbb.dtype)
 
     def start(blk, slot):
         for g in range(3):
@@ -620,7 +624,10 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     else:
         xb = pre  # scale/shift are identity when act is off
         relu_m = None
-    xbb[pl.ds(0, w0)] = xb
+    # TRANSPOSED xb buffer: the dW dots then contract lanes-of-gsl against
+    # sublanes-of-xbb (natural MXU orientation) — the previous layout forced
+    # a per-dot rhs transpose (45 of them per block; measured ~3.6 ms/layer)
+    xbb[:, pl.ds(0, w0)] = xb.T
 
     li = li_ref[0]
 
@@ -667,13 +674,14 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                     acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
                 else:
                     acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
-                xsl = xbb[pl.ds(gz * zg2 * c, zg2 * c)]
-                dcon = jax.lax.dot_general(
-                    xsl, gsl,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (zg2*c, K2*cout)
-                dw_ref[t, :, :] += dcon
+                if not SKIP_DW:
+                    xsl = xbb[:, pl.ds(gz * zg2 * c, zg2 * c)]
+                    dcon = jax.lax.dot_general(
+                        gsl, xsl,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (K2*cout, zg2*c)
+                    dw_ref[t, :, :] += dcon
         gpre = acc[pl.ds(0, w0)]
         if cfg["act"]:
             gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
@@ -732,13 +740,13 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                 acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
             else:
                 acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
-            # dW: xb group rows (x) gy-buffer group rows, contracted over lanes
-            xsl = xbb[pl.ds(gz * zg2 * c, zg2 * c)]
+            # dW: gy-buffer group rows (x) TRANSPOSED xb group lanes
+            xsl = xbb[:, pl.ds(gz * zg2 * c, zg2 * c)]
             dcon = jax.lax.dot_general(
-                xsl, gsl,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                gsl, xsl,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (zg2*c, K2*cout)
+            )  # (K2*cout, zg2*c)
             dw_ref[t, :, :] += dcon
 
     gpre = acc[pl.ds(0, w0)]
@@ -800,14 +808,14 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         out_specs=[
             pl.BlockSpec((nzp_in * c, blk), lambda i, mt: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, zg2 * c, k2 * cout), lambda i, mt: (0, 0, 0),
+            pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
             pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
             pltpu.VMEM((nzp_in * c, blk), jnp.float32),
-            pltpu.VMEM((nzp_in * c, blk), gy.dtype),
+            pltpu.VMEM((blk, nzp_in * c), gy.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
     )
@@ -816,7 +824,7 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         grid_spec=gs,
         out_shape=[
             jax.ShapeDtypeStruct((nzp_in * c, m_in), gy.dtype),
-            jax.ShapeDtypeStruct((9, zg2 * c, k2 * cout), jnp.float32),
+            jax.ShapeDtypeStruct((9, k2 * cout, zg2 * c), jnp.float32),
         ],
         interpret=INTERPRET,
     )(*args)
