@@ -868,7 +868,7 @@ def _merge_ranks(key, enc, kmax):
     return ranks_un[p:]
 
 
-def _window_ranks(key, enc2d, kmax, span):
+def _window_ranks(key, enc2d, kmax, span, qblk=128):
     """Windowed rank count: for each query column (ascending over sites),
     rank = #key-encodes < enc, counted inside a span-window of the sorted
     key array around a coarse-estimated start. Replaces the lax.sort pair of
@@ -898,8 +898,8 @@ def _window_ranks(key, enc2d, kmax, span):
         [k64[j : j + p // 64] for j in range(nw)], axis=1
     ).astype(jnp.float32)  # (p/64, span); encodes < 2^24 are exact in f32
     coarse = kenc[63::64]  # (p/64,)
-    nqb = q_ // 128
-    qb = q.reshape(nqb, 128, s)
+    nqb = q_ // qblk
+    qb = q.reshape(nqb, qblk, s)
     qmin = qb.min(axis=1)  # (nqb, s) — NOT row 0: clipped invalid tails may
     qmax = qb.max(axis=1)  # break per-block ascending order
     t = jnp.sum(coarse[None, None, :] < qmin[:, :, None], axis=-1)
@@ -950,11 +950,13 @@ def _tap_offsets():
     )
 
 
-def _ranks_auto_batched(keys, enc3, kmax, span):
+def _ranks_auto_batched(keys, enc3, kmax, span, qblk=128):
     """Batched _merge_ranks semantics: keys (B, P), enc3 (B, Q, S) with each
     query column ascending per sample. ONE overflow cond across the whole
     batch — crucially NOT under vmap (lax.cond under vmap lowers to select
-    and executes BOTH branches, paying the sorts AND the windows)."""
+    and executes BOTH branches, paying the sorts AND the windows).
+    qblk: queries per window block — smaller blocks need smaller spans and
+    the compare-count work scales with qblk*span per block."""
     b, q_, s = enc3.shape
     p = keys.shape[1]
 
@@ -963,9 +965,9 @@ def _ranks_auto_batched(keys, enc3, kmax, span):
             lambda k, e: _merge_ranks(k, e.reshape(-1), kmax).reshape(q_, s)
         )(keys, enc3)
 
-    if q_ % 128 != 0 or p % 64 != 0 or p < span:
+    if q_ % qblk != 0 or p % 64 != 0 or p < span:
         return slow()
-    ranks, ovf = jax.vmap(lambda k, e: _window_ranks(k, e, kmax, span))(
+    ranks, ovf = jax.vmap(lambda k, e: _window_ranks(k, e, kmax, span, qblk))(
         keys, enc3)
     return jax.lax.cond(jnp.any(ovf), slow, lambda: ranks)
 
@@ -1035,7 +1037,8 @@ def bev_neighbor_idx_sorted_batched(in_coords, in_mask, out_coords, out_mask,
     # spans: measured per-128-query rank spreads (tools/probe_group_spans.py
     # need8) + 64 alignment slack; overflow falls back to the exact sort
     r = _ranks_auto_batched(key, enc.reshape(b, po, ndy * 4), ny * nx,
-                            320 if stride == 1 else 704)
+                            192 if stride == 1 else 448,
+                            qblk=64)
     r = r.reshape(b, po, ndy, 4)
     return jax.vmap(
         lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, stride, subm)
@@ -1116,7 +1119,8 @@ def bev_inv_neighbor_idx_sorted_batched(coarse_coords, coarse_mask,
         lambda cc, cm, fc, fm: _inv_parts(cc, cm, fc, fm, coarse_bev_shape)
     )(coarse_coords, coarse_mask, fine_coords, fine_mask)
     b, pf = enc.shape[:2]
-    r = _ranks_auto_batched(key, enc.reshape(b, pf, 9), ny * nx, 384)
+    r = _ranks_auto_batched(key, enc.reshape(b, pf, 9), ny * nx, 256,
+                            qblk=64)
     return jax.vmap(_inv_assemble)(r.reshape(b, pf, 3, 3), ok, o, o0x)
 
 
