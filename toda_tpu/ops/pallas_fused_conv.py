@@ -91,6 +91,11 @@ LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
 MIXED_BWD = int(os.environ.get("TODA_FUSED_MIXED_BWD", "0"))
 # timing-diagnostic ONLY (wrong dW when 1): skip the in-kernel dW dots
 SKIP_DW = int(os.environ.get("TODA_FUSED_SKIP_DW", "0"))
+# Lane width of the banded z-group dots (M dim fwd / N dim bwd). 256 halves
+# the per-block band/dW MXU issue count vs 128 (the kernels are issue-bound
+# on those small dots); z-groups that overrun nz are tail-trimmed, so the
+# wide gather dots never pay for group padding.
+GROUP_LANES = int(os.environ.get("TODA_GROUP_LANES", "128"))
 
 
 def _fwd_slots(identity):
@@ -109,6 +114,28 @@ def _span_tiers(nsub):
     if not LADDER:
         return [nsub]
     return list(range(2, nsub + 1)) if nsub <= 4 else [3, nsub]
+
+
+def _fwd_band_iter(cfg):
+    """(gz, zge, r0, krows, mcols) for the fwd band dots, tail-trimmed: the
+    last z-group covers only zg_tail real output slabs, so its dot reads
+    fewer gathered rows and writes fewer acc rows (no group padding)."""
+    zg, s, c, cout = cfg["zg"], cfg["z_stride"], cfg["c"], cfg["cout"]
+    ng = cfg["nzp_out"] // zg
+    for gz in range(ng):
+        zge = cfg["zg_tail"] if gz == ng - 1 else zg
+        yield gz, zge, s * gz * zg * c, fwd_band_slabs(zge, s) * c, zge * cout
+
+
+def _bwd_band_iter(cfg):
+    """(gz, zg2e, r0, krows, ncols) for the bwd band/dW dots, tail-trimmed."""
+    zg2, s, c, cout = cfg["zg2"], cfg["z_stride"], cfg["c"], cfg["cout"]
+    goff = zg2 if s == 1 else zg2 // 2
+    ng2 = cfg["nzp_in"] // zg2
+    for gz in range(ng2):
+        zg2e = cfg["zg2_tail"] if gz == ng2 - 1 else zg2
+        yield (gz, zg2e, gz * goff * cout,
+               bwd_tail_slabs(zg2e, s) * cout, zg2e * c)
 
 
 def _group_range(meta_ref, i, ts):
@@ -156,15 +183,20 @@ def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
 
 
 def fwd_group_size(cout):
-    """zg: output z-slabs per band dot, so zg*cout ~ 128 (the MXU M dim)."""
-    return max(1, 128 // cout)
+    """zg: output z-slabs per band dot, so zg*cout ~ GROUP_LANES (MXU M)."""
+    return max(1, GROUP_LANES // cout)
 
 
 def bwd_group_size(c, z_stride):
-    zg2 = max(1, 128 // c)
+    zg2 = max(1, GROUP_LANES // c)
     if z_stride == 2 and zg2 % 2:
         zg2 += 1  # group offsets must be affine in g (even zg2)
     return zg2
+
+
+def bwd_tail_slabs(zg2_t, z_stride):
+    """gy-window slabs read by a TRIMMED bwd group of zg2_t input slabs."""
+    return zg2_t + 2 if z_stride == 1 else zg2_t // 2 + 1
 
 
 def fwd_band_slabs(zg, z_stride):
@@ -413,18 +445,17 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                      span // 128)
         for t in range(9):
             soff = slot_of[t] * bsz
-            for gz in range(ng):
-                r0 = s * gz * zg * c
-                gsl = gbuf[pl.ds(r0, ks * c), pl.ds(soff, bsz)]
+            for gz, zge, r0, krows, mcols in _fwd_band_iter(cfg):
+                gsl = gbuf[pl.ds(r0, krows), pl.ds(soff, bsz)]
                 contrib = jax.lax.dot_general(
-                    wb_ref[t], gsl,
+                    wb_ref[t, :krows, :mcols], gsl,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 if t == 0:
-                    acc[pl.ds(gz * zg * cout, zg * cout)] = contrib
+                    acc[pl.ds(gz * zg * cout, mcols)] = contrib
                 else:
-                    acc[pl.ds(gz * zg * cout, zg * cout)] += contrib
+                    acc[pl.ds(gz * zg * cout, mcols)] += contrib
         out_ref[:, :] = acc[:, :].astype(out_ref.dtype)
         return
 
@@ -462,18 +493,17 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                             preferred_element_type=jnp.float32,
                         ).astype(gbuf.dtype)
         # band dots: z-group gz reads gathered haloed rows from slab s*gz*zg
-        for gz in range(ng):
-            r0 = s * gz * zg * c
-            gsl = gbuf[pl.ds(r0, ks * c)]
+        for gz, zge, r0, krows, mcols in _fwd_band_iter(cfg):
+            gsl = gbuf[pl.ds(r0, krows)]
             contrib = jax.lax.dot_general(
-                wb_ref[t], gsl,
+                wb_ref[t, :krows, :mcols], gsl,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (zg*cout, B)
+            )  # (zge*cout, B)
             if t == 0:
-                acc[pl.ds(gz * zg * cout, zg * cout)] = contrib
+                acc[pl.ds(gz * zg * cout, mcols)] = contrib
             else:
-                acc[pl.ds(gz * zg * cout, zg * cout)] += contrib
+                acc[pl.ds(gz * zg * cout, mcols)] += contrib
     out_ref[:, :] = acc[:, :].astype(out_ref.dtype)
 
 
@@ -513,23 +543,24 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
         _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref,
                     xblk_ref, out_ref, win, gbuf, acc, sem)
 
+    w2 = cfg["nz_out"] * cout
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nzp_out * cout, blk), lambda i, mt: (0, i),
+        out_specs=pl.BlockSpec((w2, blk), lambda i, mt: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, whalo, span), x.dtype),
             pltpu.VMEM((whalo, 9 * blk if WIDE_FWD else blk), x.dtype),
-            pltpu.VMEM((nzp_out * cout, blk), jnp.float32),
+            pltpu.VMEM((w2, blk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((nzp_out * cout, m), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((w2, m), x.dtype),
         interpret=INTERPRET,
     )(*args)
 
@@ -578,12 +609,6 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                         (nrest, span), win.dtype
                     )
         dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
-        # pad lanes of the TRANSPOSED xb block buffer (beyond nz_in*c)
-        # stay zero
-        nxrest = xbb.shape[1] - w0
-        if nxrest:
-            xbb[:, pl.ds(w0, nxrest)] = jnp.zeros((xbb.shape[0], nxrest),
-                                                  xbb.dtype)
 
     def start(blk, slot):
         for g in range(3):
@@ -627,7 +652,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     # TRANSPOSED xb buffer: the dW dots then contract lanes-of-gsl against
     # sublanes-of-xbb (natural MXU orientation) — the previous layout forced
     # a per-dot rhs transpose (45 of them per block; measured ~3.6 ms/layer)
-    xbb[:, pl.ds(0, w0)] = xb.T
+    xbb[:, :] = xb.T
 
     li = li_ref[0]
 
@@ -660,28 +685,27 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             gstart += wdt
         _ladder_dots(win, slot, sites, gbuf, meta_ref, i, identity,
                      span // 128)
-        goff = zg2 if s == 1 else zg2 // 2
         for t in range(9):
             soff = slot_of[t] * bsz
-            for gz in range(ng2):
-                gsl = gbuf[pl.ds(gz * goff * cout, k2 * cout), pl.ds(soff, bsz)]
+            for gz, zg2e, r0, krows, ncols in _bwd_band_iter(cfg):
+                gsl = gbuf[pl.ds(r0, krows), pl.ds(soff, bsz)]
                 contrib = jax.lax.dot_general(
-                    wb_ref[t], gsl,
+                    wb_ref[t, :krows, :ncols], gsl,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (zg2*c, B)
+                )  # (zg2e*c, B)
                 if t == 0:
-                    acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
+                    acc[pl.ds(gz * zg2 * c, ncols)] = contrib
                 else:
-                    acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
+                    acc[pl.ds(gz * zg2 * c, ncols)] += contrib
                 if not SKIP_DW:
-                    xsl = xbb[:, pl.ds(gz * zg2 * c, zg2 * c)]
+                    xsl = xbb[:, pl.ds(gz * zg2 * c, ncols)]
                     dcon = jax.lax.dot_general(
                         gsl, xsl,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (K2*cout, zg2*c)
-                    dw_ref[t, :, :] += dcon
+                    )  # (krows, ncols)
+                    dw_ref[t, :krows, :ncols] += dcon
         gpre = acc[pl.ds(0, w0)]
         if cfg["act"]:
             gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
@@ -728,26 +752,25 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                             win[b, g, :, sub * 128 : (sub + 1) * 128], oh,
                             preferred_element_type=jnp.float32,
                         ).astype(gbuf.dtype)
-        goff = zg2 if s == 1 else zg2 // 2
-        for gz in range(ng2):
-            gsl = gbuf[pl.ds(gz * goff * cout, k2 * cout)]
+        for gz, zg2e, r0, krows, ncols in _bwd_band_iter(cfg):
+            gsl = gbuf[pl.ds(r0, krows)]
             contrib = jax.lax.dot_general(
-                wb_ref[t], gsl,
+                wb_ref[t, :krows, :ncols], gsl,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (zg2*c, B)
+            )  # (zg2e*c, B)
             if t == 0:
-                acc[pl.ds(gz * zg2 * c, zg2 * c)] = contrib
+                acc[pl.ds(gz * zg2 * c, ncols)] = contrib
             else:
-                acc[pl.ds(gz * zg2 * c, zg2 * c)] += contrib
+                acc[pl.ds(gz * zg2 * c, ncols)] += contrib
             # dW: gy-buffer group rows (x) TRANSPOSED xb group lanes
-            xsl = xbb[:, pl.ds(gz * zg2 * c, zg2 * c)]
+            xsl = xbb[:, pl.ds(gz * zg2 * c, ncols)]
             dcon = jax.lax.dot_general(
                 gsl, xsl,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (K2*cout, zg2*c)
-            dw_ref[t, :, :] += dcon
+            )  # (krows, ncols)
+            dw_ref[t, :krows, :ncols] += dcon
 
     gpre = acc[pl.ds(0, w0)]
     if cfg["act"]:
@@ -806,7 +829,7 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((nzp_in * c, blk), lambda i, mt: (0, i),
+            pl.BlockSpec((w0, blk), lambda i, mt: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -814,8 +837,8 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
             pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
-            pltpu.VMEM((nzp_in * c, blk), jnp.float32),
-            pltpu.VMEM((blk, nzp_in * c), gy.dtype),
+            pltpu.VMEM((w0, blk), jnp.float32),
+            pltpu.VMEM((blk, w0), gy.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
     )
@@ -823,7 +846,7 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         kern,
         grid_spec=gs,
         out_shape=[
-            jax.ShapeDtypeStruct((nzp_in * c, m_in), gy.dtype),
+            jax.ShapeDtypeStruct((w0, m_in), gy.dtype),
             jax.ShapeDtypeStruct((9, k2 * cout, zg2 * c), jnp.float32),
         ],
         interpret=INTERPRET,
@@ -874,14 +897,25 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap):
     zg = fwd_group_size(cout)
     nz_out = -(-nz_in // z_stride)
     nzp_out = -(-nz_out // zg) * zg
-    whalo = (z_stride * (nzp_out - 1) + 3) * c
+    ng = nzp_out // zg
+    zg_tail = nz_out - (ng - 1) * zg  # in (0, zg]: last fwd group's slabs
+    # REAL window rows (z-groups that overrun nz_out are tail-trimmed in the
+    # kernel, so the window / wide gather dots never cover group padding)
+    whalo = (z_stride * (nz_out - 1) + 3) * c
     zg2 = bwd_group_size(c, z_stride)
     nzp_in = -(-nz_in // zg2) * zg2
+    ng2 = nzp_in // zg2
+    zg2_tail = nz_in - (ng2 - 1) * zg2
     goff = zg2 if z_stride == 1 else zg2 // 2
-    whalo2 = ((nzp_in // zg2 - 1) * goff + bwd_band_slabs(zg2, z_stride)) * cout
+    ht = 1 if z_stride == 1 else 0
+    whalo2 = max(
+        ((ng2 - 1) * goff + bwd_tail_slabs(zg2_tail, z_stride)) * cout,
+        (ht + nz_out) * cout,  # must cover the DMA'd gy rows
+    )
     return dict(
         c=c, cout=cout, nz_in=nz_in, nz_out=nz_out, nzp_out=nzp_out,
-        nzp_in=nzp_in, zg=zg, zg2=zg2, z_stride=z_stride, act=act,
+        nzp_in=nzp_in, zg=zg, zg2=zg2, zg_tail=zg_tail, zg2_tail=zg2_tail,
+        z_stride=z_stride, act=act,
         identity=identity_tap, whalo=whalo, whalo2=whalo2,
         span=SPAN_SUBM if z_stride == 1 else SPAN_DOWN,
         span_bwd=SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN,
@@ -907,16 +941,16 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride):
     fwd_vmem = (
         NBUF * 3 * cfg["whalo"] * cfg["span"] * eb
         + cfg["whalo"] * (9 * bf if WIDE_FWD else bf) * eb
-        + cfg["nzp_out"] * cout * bf * 4
-        + 2 * (cfg["nzp_out"] * cout + w0) * bf * eb  # out + identity xblk
+        + w2 * bf * 4
+        + 2 * (w2 + w0) * bf * eb  # out + identity xblk
     )
     bb = cfg["blk_bwd"]
     k2 = bwd_band_slabs(cfg["zg2"], z_stride)
     bwd_vmem = (
         NBUF * 3 * cfg["whalo2"] * cfg["span_bwd"] * eb
         + cfg["whalo2"] * (9 * bb if WIDE_FWD else bb) * eb
-        + cfg["nzp_in"] * c * bb * (4 + eb)  # f32 acc + xbb
-        + 2 * (cfg["nzp_in"] * c + w0 + w2) * bb * eb  # gout + xblk + gyblk
+        + w0 * bb * (4 + eb)  # f32 acc + xbb
+        + 2 * (w0 + w0 + w2) * bb * eb  # gout + xblk + gyblk
         + 2 * 9 * cfg["zg2"] * c * k2 * cout * 4  # dwacc out
     )
     return (
@@ -965,8 +999,7 @@ def _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
     w2 = cfg["nz_out"] * cout
 
     def fast():
-        y = _call_fwd(x, sc_h, sh_h, wband, meta, li4, m_out, cfg)
-        return y[:w2] if cfg["nzp_out"] != cfg["nz_out"] else y
+        return _call_fwd(x, sc_h, sh_h, wband, meta, li4, m_out, cfg)
 
     def slow():
         return _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act)
@@ -1052,7 +1085,6 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
         sc_x, sh_x = _affine_rows(scale, shift, w0, c, 0, w0, x.dtype)
         g_relu, dwacc = _call_bwd(gy, x, sc_x, sh_x, wback, meta2, li42,
                                   m_in, cfg)
-        g_relu = g_relu[:w0] if cfg["nzp_in"] * c != w0 else g_relu
         dw = extract_dw(dwacc, c, cout, cfg["zg2"], z_stride, w.dtype)
         if act:
             scr = jnp.tile(scale.astype(x.dtype), nz_in)[:, None]
