@@ -188,6 +188,10 @@ class PillarConvLayerT(nn.Module):
     z_stride: int = 1
     use_relu: bool = True
     identity_tap: int = -1  # 4 for stride-1 submanifold convs (center = self)
+    # split backward (first raw-input layer only): dW via forward tables,
+    # dx as a separate kernel that DCE drops unless input gradients are
+    # consumed (FGSM perturb path keeps it automatically)
+    split_bwd: bool = False
 
     @nn.compact
     def __call__(self, flatT, idxf, maskf, training=False, invf=None,
@@ -217,6 +221,7 @@ class PillarConvLayerT(nn.Module):
                 out = pfc.fused_bnconv9_t(
                     flatT, fused_in[0], fused_in[1], w.astype(flatT.dtype),
                     idxf, invf, self.nz, self.z_stride, it, fused_in[2],
+                    split_bwd=self.split_bwd,
                 )
             else:
                 # not fusable (e.g. c % 8 != 0 first layer, CPU tests):
@@ -251,6 +256,10 @@ class PillarSubMBlockT(nn.Module):
     nz: int
     num_layers: int = 2
     residual: bool = False
+    # True for the backbone's first block: its first conv consumes the raw
+    # voxelizer output (identity affine, act=False), so its backward is
+    # split (dW-only + DCE-able dx kernel)
+    first: bool = False
 
     @nn.compact
     def __call__(self, flatT, idxf, maskf, training=False, fused_in=None):
@@ -262,7 +271,8 @@ class PillarSubMBlockT(nn.Module):
             aff = fused_in
             for i in range(self.num_layers):
                 x, aff = PillarConvLayerT(self.out_channels, self.nz,
-                                          identity_tap=4, name=f"subm{i}")(
+                                          identity_tap=4, name=f"subm{i}",
+                                          split_bwd=self.first and i == 0)(
                     x, idxf, maskf, training, invf, fused_in=aff)
             return x, aff
         if fused_in is not None and self.residual:
@@ -397,7 +407,7 @@ class _PillarBackboneBase(nn.Module):
         aff = identity_affine(c) if use_fused else None
         if use_fused:
             x, aff = PillarSubMBlockT(chans[0], cur_nz, residual=self.RESIDUAL,
-                                      name="stage1")(
+                                      first=True, name="stage1")(
                 x, idxf, maskf, training, fused_in=aff)
             x1_out = apply_affine_t(x, aff, maskf, cur_nz)
         else:

@@ -566,12 +566,200 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
 
 
 # --------------------------------------------------------------------------
+# dW-only kernel (forward tables)
+# --------------------------------------------------------------------------
+#
+# For layers whose INPUT cotangent is dead (the backbone's first conv: its
+# input is the voxelizer output, and parameters see no gradient through it),
+# the shared backward kernel wastes its dominant cost — the inverse-table gy
+# gather feeding the dx band dots. This kernel computes dW alone from the
+# FORWARD tables: gather xb taps exactly like _fwd_kernel (same meta/one-hot
+# machinery), then contract gathered group rows against the block's OWN gy
+# rows over lanes. dW appears in the fwd band layout (9, Ks*c, zg*cout); the
+# true (3,3,3,c,cout) gradient is the adjoint of band_fwd_weights
+# (extract_dw_fwd). Used by the SPLIT backward (_fused_core_split), where dx
+# is a separate, DCE-able kernel: normal training drops it, input-gradient
+# paths (FGSM perturbation, runtime/pseudo_label.py) keep it automatically.
+
+
+def _dw_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, gyblk_ref,
+               xblk_ref, dw_ref, win, gbuf, sem):
+    c, cout = cfg["c"], cfg["cout"]
+    zg = cfg["zg"]
+    identity = cfg["identity"]
+    w0 = cfg["nz_in"] * c
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    nbuf, _, whalo, span = win.shape
+
+    def start(blk, slot):
+        for g in range(3):
+            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(off, span)],
+                win.at[slot, g, pl.ds(c, w0)],
+                sem.at[slot, g],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(nbuf):
+            for g in range(3):
+                win[b, g, pl.ds(0, c)] = jnp.zeros((c, span), win.dtype)
+                nrest = whalo - c - w0
+                if nrest:
+                    win[b, g, pl.ds(c + w0, nrest)] = jnp.zeros(
+                        (nrest, span), win.dtype
+                    )
+        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        for b in range(min(nbuf - 1, nblk)):
+            start(b, b)
+
+    @pl.when(i + nbuf - 1 < nblk)
+    def _():
+        start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
+
+    slot = i % nbuf
+    for g in range(3):
+        pltpu.make_async_copy(
+            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
+            win.at[slot, g, pl.ds(c, w0)],
+            sem.at[slot, g],
+        ).wait()
+
+    li = li_ref[0]  # (9, 1, B)
+    bsz = gyblk_ref.shape[1]
+
+    if cfg["act"]:
+        sc = sc_ref[:]
+        sh = sh_ref[:]
+        for b in range(NBUF):
+            @pl.when(slot == b)
+            def _(b=b):
+                for g in range(3):
+                    win[b, g] = jnp.maximum(win[b, g] * sc + sh, 0)
+
+    slot_of = _fwd_slots(identity)
+    if identity is not None:
+        s8 = slot_of[identity] * bsz
+        # tap-validity mask: unlike the forward (whose invalid output lanes
+        # are unspecified by contract), dW sums over lanes — a garbage
+        # xb x gy product at an invalid lane would pollute the gradient
+        vm = (li[identity] != span).astype(gbuf.dtype)  # (1, B)
+        if cfg["act"]:
+            xb = jnp.maximum(
+                xblk_ref[:] * sc_ref[c : c + w0] + sh_ref[c : c + w0], 0
+            )
+        else:
+            xb = xblk_ref[:]
+        gbuf[pl.ds(c, w0), pl.ds(s8, bsz)] = xb * vm
+        gbuf[pl.ds(0, c), pl.ds(s8, bsz)] = jnp.zeros((c, bsz), gbuf.dtype)
+        nrest = whalo - c - w0
+        gbuf[pl.ds(c + w0, nrest), pl.ds(s8, bsz)] = jnp.zeros(
+            (nrest, bsz), gbuf.dtype
+        )
+    sites = []
+    gstart = 0
+    for g in range(3):
+        ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
+        wdt = len(ts) * bsz
+        licat = jnp.concatenate([li[t] for t in ts], axis=-1)  # (1, wdt)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
+        oh = (giota == licat).astype(gbuf.dtype)
+        for b in range(NBUF):
+            sites.append((b, g, ts, oh, gstart, wdt))
+        gstart += wdt
+    _ladder_dots(win, slot, sites, gbuf, meta_ref, i, identity, span // 128)
+
+    for t in range(9):
+        soff = slot_of[t] * bsz
+        for gz, zge, r0, krows, mcols in _fwd_band_iter(cfg):
+            gsl = gbuf[pl.ds(r0, krows), pl.ds(soff, bsz)]
+            gysl = gyblk_ref[pl.ds(gz * zg * cout, mcols)]
+            dcon = jax.lax.dot_general(
+                gsl, gysl,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (krows, mcols)
+            dw_ref[t, :krows, :mcols] += dcon
+
+
+def _call_dw(x, sc_h, sh_h, gy, meta, li4, m_out, cfg):
+    w0, n = x.shape
+    blk = cfg["blk_fwd"]
+    nblk = m_out // blk
+    c, cout = cfg["c"], cfg["cout"]
+    whalo, span = cfg["whalo"], cfg["span"]
+    ks = fwd_band_slabs(cfg["zg"], cfg["z_stride"])
+    identity = cfg["identity"]
+    w2 = cfg["nz_out"] * cout
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # src table (manual DMA)
+        pl.BlockSpec((1, 9, 1, blk), lambda i, mt: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w2, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [meta, x, li4, sc_h, sh_h, gy]
+    if identity is not None:
+        in_specs.append(
+            pl.BlockSpec((w0, blk), lambda i, mt: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(x)
+
+    def kern(meta_ref, src, li_ref, sc_ref, sh_ref, gyblk_ref, *rest):
+        if identity is not None:
+            xblk_ref = rest[0]
+            rest = rest[1:]
+        else:
+            xblk_ref = None
+        dw_ref, win, gbuf, sem = rest
+        _dw_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, gyblk_ref,
+                   xblk_ref, dw_ref, win, gbuf, sem)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((9, ks * c, cfg["zg"] * cout),
+                               lambda i, mt: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, whalo, span), x.dtype),
+            pltpu.VMEM((whalo, 9 * blk), x.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((9, ks * c, cfg["zg"] * cout),
+                                       jnp.float32),
+        interpret=INTERPRET,
+    )(*args)
+
+
+def extract_dw_fwd(dwacc, c, cout, zg, z_stride, dtype):
+    """dwacc (9, Ks*c, zg*cout) f32 (fwd band layout) -> dW (3,3,3,c,cout).
+    Adjoint of band_fwd_weights: sum each weight over its band placements."""
+    ks = fwd_band_slabs(zg, z_stride)
+    sel = jnp.asarray(_fwd_band_sel(zg, z_stride), dwacc.dtype)
+    d5 = dwacc.reshape(9, ks, c, zg, cout)
+    dw = jnp.einsum("dKk,tKiko->dtio", sel, d5)
+    return dw.reshape(3, 3, 3, c, cout).astype(dtype)
+
+
+# --------------------------------------------------------------------------
 # backward kernel
 # --------------------------------------------------------------------------
 
 
 def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
-                gyblk_ref, gout_ref, dw_ref, win, gbuf, acc, xbb, sem):
+                gyblk_ref, gout_ref, dw_ref, win, gbuf, acc, xbb, sem,
+                want_dw=True):
     """Gathers gy (the conv output cotangent) by the INVERSE tables, applies
     the transposed band to produce the pre-activation cotangent, multiplies
     by the recomputed relu mask, and accumulates per-tap dW outer products.
@@ -608,7 +796,8 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                     win[b, g, pl.ds(ht * cout + w2, nrest)] = jnp.zeros(
                         (nrest, span), win.dtype
                     )
-        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        if want_dw:
+            dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
     def start(blk, slot):
         for g in range(3):
@@ -638,21 +827,24 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     bsz = gout_ref.shape[1]
     # recompute xb = relu(bn(x)) for the dW products, and the relu mask
-    xr = xblk_ref[:]
-    sc = sc_ref[:]
-    sh = sh_ref[:]
-    pre = xr * sc + sh
-    if cfg["act"]:
-        xb = jnp.maximum(pre, 0)
-        # bf16 cmpf is unsupported on some TPU targets: compare in f32
-        relu_m = (pre.astype(jnp.float32) > 0).astype(xr.dtype)
-    else:
-        xb = pre  # scale/shift are identity when act is off
-        relu_m = None
-    # TRANSPOSED xb buffer: the dW dots then contract lanes-of-gsl against
-    # sublanes-of-xbb (natural MXU orientation) — the previous layout forced
-    # a per-dot rhs transpose (45 of them per block; measured ~3.6 ms/layer)
-    xbb[:, :] = xb.T
+    relu_m = None
+    if cfg["act"] or want_dw:
+        xr = xblk_ref[:]
+        sc = sc_ref[:]
+        sh = sh_ref[:]
+        pre = xr * sc + sh
+        if cfg["act"]:
+            xb = jnp.maximum(pre, 0)
+            # bf16 cmpf is unsupported on some TPU targets: compare in f32
+            relu_m = (pre.astype(jnp.float32) > 0).astype(xr.dtype)
+        else:
+            xb = pre  # scale/shift are identity when act is off
+    if want_dw:
+        # TRANSPOSED xb buffer: the dW dots then contract lanes-of-gsl
+        # against sublanes-of-xbb (natural MXU orientation) — the previous
+        # layout forced a per-dot rhs transpose (45 of them per block;
+        # measured ~3.6 ms/layer)
+        xbb[:, :] = xb.T
 
     li = li_ref[0]
 
@@ -698,7 +890,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                     acc[pl.ds(gz * zg2 * c, ncols)] = contrib
                 else:
                     acc[pl.ds(gz * zg2 * c, ncols)] += contrib
-                if not SKIP_DW:
+                if want_dw and not SKIP_DW:
                     xsl = xbb[:, pl.ds(gz * zg2 * c, ncols)]
                     dcon = jax.lax.dot_general(
                         gsl, xsl,
@@ -763,14 +955,15 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                 acc[pl.ds(gz * zg2 * c, ncols)] = contrib
             else:
                 acc[pl.ds(gz * zg2 * c, ncols)] += contrib
-            # dW: gy-buffer group rows (x) TRANSPOSED xb group lanes
-            xsl = xbb[:, pl.ds(gz * zg2 * c, ncols)]
-            dcon = jax.lax.dot_general(
-                gsl, xsl,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (krows, ncols)
-            dw_ref[t, :krows, :ncols] += dcon
+            if want_dw:
+                # dW: gy-buffer group rows (x) TRANSPOSED xb group lanes
+                xsl = xbb[:, pl.ds(gz * zg2 * c, ncols)]
+                dcon = jax.lax.dot_general(
+                    gsl, xsl,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (krows, ncols)
+                dw_ref[t, :krows, :ncols] += dcon
 
     gpre = acc[pl.ds(0, w0)]
     if cfg["act"]:
@@ -781,9 +974,13 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
         gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
 
 
-def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
+def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
     """gy (nz_out*cout, Mf_out) padded to haloed DMA space by the kernel;
-    x (nz_in*c, Mf_in). Output g_relu (nzp_in*c, Mf_in) + dwacc."""
+    x (nz_in*c, Mf_in). Output g_relu (nzp_in*c, Mf_in) + dwacc.
+
+    want_dw=False (split backward's dx-only kernel; requires act=False):
+    skips the x block input, the xb transpose and the dW lane contractions,
+    and returns g_relu alone."""
     w2, n_out = gy.shape
     blk = cfg["blk_bwd"]
     nblk = m_in // blk
@@ -793,6 +990,8 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
     zg2 = cfg["zg2"]
     k2 = bwd_band_slabs(zg2, cfg["z_stride"])
     w0 = cfg["nz_in"] * c
+    if not want_dw:
+        assert not cfg["act"], "dx-only backward requires act=False"
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # gy table
@@ -802,9 +1001,14 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         pl.BlockSpec((w0, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
     ]
-    args = [meta, gy, li4, sc_x, sh_x, wback, x]
+    args = [meta, gy, li4, sc_x, sh_x, wback]
+    if want_dw:
+        in_specs.append(
+            pl.BlockSpec((w0, blk), lambda i, mt: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(x)
     identity = cfg["identity"]
     if identity is not None:
         in_specs.append(
@@ -813,44 +1017,60 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg):
         )
         args.append(gy)
 
-    def kern(meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref, *rest):
+    def kern(meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, *rest):
+        if want_dw:
+            xblk_ref = rest[0]
+            rest = rest[1:]
+        else:
+            xblk_ref = None
         if identity is not None:
             gyblk_ref = rest[0]
             rest = rest[1:]
         else:
             gyblk_ref = None
-        gout_ref, dw_ref, win, gbuf, acc, xbb, sem = rest
+        if want_dw:
+            gout_ref, dw_ref, win, gbuf, acc, xbb, sem = rest
+        else:
+            gout_ref, win, gbuf, acc, sem = rest
+            dw_ref = xbb = None
         _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref,
                     xblk_ref, gyblk_ref, gout_ref, dw_ref, win, gbuf, acc,
-                    xbb, sem)
+                    xbb, sem, want_dw=want_dw)
 
+    out_specs = [
+        pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((w0, m_in), gy.dtype)]
+    if want_dw:
+        out_specs.append(
+            pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((9, k2 * cout, zg2 * c), jnp.float32)
+        )
+    scratch = [
+        pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
+        pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
+        pltpu.VMEM((w0, blk), jnp.float32),
+    ]
+    if want_dw:
+        scratch.append(pltpu.VMEM((blk, w0), gy.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((NBUF, 3)))
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((w0, blk), lambda i, mt: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
-            pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
-            pltpu.VMEM((w0, blk), jnp.float32),
-            pltpu.VMEM((blk, w0), gy.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 3)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kern,
         grid_spec=gs,
-        out_shape=[
-            jax.ShapeDtypeStruct((w0, m_in), gy.dtype),
-            jax.ShapeDtypeStruct((9, k2 * cout, zg2 * c), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=INTERPRET,
     )(*args)
+    return res if want_dw else res[0]
 
 
 # --------------------------------------------------------------------------
@@ -1119,8 +1339,94 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
 _fused_core.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
+# --------------------------------------------------------------------------
+# split backward: dW-only kernel + independently DCE-able dx kernel
+# --------------------------------------------------------------------------
+#
+# The shared backward kernel amortizes ONE inverse-table gy gather across the
+# dx band dots and the dW lane contractions — optimal when both cotangents
+# are live. For the backbone's FIRST conv, dx feeds only the (parameterless)
+# voxelizer: in ordinary training it is dead, but the FGSM input-gradient
+# path (runtime/pseudo_label.make_perturb_step) does need it. Baking a
+# "no input grad" flag into the kernel would silently zero those gradients;
+# instead the backward is split into two independent pure kernels so the
+# tracer/XLA drop the dx one exactly when nothing consumes it:
+#   dW: forward-table xb gather + per-band lane contractions (_call_dw) —
+#       ~2.5x cheaper than the shared kernel when c < cout's gy space, since
+#       the x windows it gathers are c-channel rather than cout.
+#   dx: the shared kernel minus dW (want_dw=False).
+# Restricted to act=False (the raw-input first layer): with act=True,
+# dscale/dshift would need the dx kernel's g_relu output anyway, defeating
+# the split.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_core_split(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
+                      identity_tap):
+    return _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
+                           identity_tap)
+
+
+def _split_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
+                   identity_tap):
+    y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
+                        identity_tap)
+    return y, (x, scale, shift, w, idxf, invf)
+
+
+def _split_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
+    x, scale, shift, w, idxf, invf = res
+    assert not act, "split backward is raw-input (act=False) only"
+    c = x.shape[0] // nz_in
+    cout = w.shape[-1]
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    m_in = x.shape[1]
+    m_out = idxf.shape[0]
+    w0 = nz_in * c
+    gy = gy.astype(x.dtype)
+
+    # dW from the forward tables (same prologue as the forward pass: CSE'd)
+    meta, li4, ovf = _prologue(idxf, m_in, cfg["span"], cfg["blk_fwd"])
+    sc_h, sh_h = _affine_rows(scale, shift, cfg["whalo"], c, c, w0, x.dtype)
+
+    def dw_fast():
+        dwacc = _call_dw(x, sc_h, sh_h, gy, meta, li4, m_out, cfg)
+        return extract_dw_fwd(dwacc, c, cout, cfg["zg"], z_stride, w.dtype)
+
+    def dw_slow():
+        _, vjp = jax.vjp(
+            lambda w_: _ref_fwd(x, scale, shift, w_, idxf, nz_in, z_stride,
+                                act), w)
+        return vjp(gy)[0]
+
+    dw = jax.lax.cond(ovf, dw_slow, dw_fast) if FORCE_PATH != 1 else dw_fast()
+
+    # dx as its own kernel/cond subgraph: dropped by DCE when unused
+    meta2, li42, ovf2 = _prologue(invf, gy.shape[1], cfg["span_bwd"],
+                                  cfg["blk_bwd"])
+
+    def dx_fast():
+        wback = band_bwd_weights(w, cfg["zg2"], z_stride).astype(x.dtype)
+        sc_x, sh_x = _affine_rows(scale, shift, w0, c, 0, w0, x.dtype)
+        return _call_bwd(gy, x, sc_x, sh_x, wback, meta2, li42, m_in, cfg,
+                         want_dw=False)
+
+    def dx_slow():
+        _, vjp = jax.vjp(
+            lambda x_: _ref_fwd(x_, scale, shift, w, idxf, nz_in, z_stride,
+                                act), x)
+        return vjp(gy)[0]
+
+    dx = jax.lax.cond(ovf2, dx_slow, dx_fast) if FORCE_PATH != 1 else dx_fast()
+    return (dx.astype(x.dtype), jnp.zeros_like(scale), jnp.zeros_like(shift),
+            dw, None, None)
+
+
+_fused_core_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)
+
+
 def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
-                    identity_tap=None, act=True):
+                    identity_tap=None, act=True, split_bwd=False):
     """Fused relu(x*scale+shift) -> 3x3x3 sparse conv, transposed layout.
 
     Args:
@@ -1145,5 +1451,11 @@ def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
     cout = weights.shape[-1]
     if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride):
         return _ref_fwd(x, scale, shift, weights, idxf, nz_in, z_stride, act)
+    if split_bwd and not act:
+        # raw-input first layer: dW-only + DCE-able dx backward (see
+        # _fused_core_split); dscale/dshift are zeros — with act=False the
+        # affine is the identity constant, not a parameter
+        return _fused_core_split(x, scale, shift, weights, idxf, invf, nz_in,
+                                 z_stride, act, identity_tap)
     return _fused_core(x, scale, shift, weights, idxf, invf, nz_in, z_stride,
                        act, identity_tap)
