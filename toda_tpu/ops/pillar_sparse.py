@@ -42,6 +42,28 @@ from . import pallas_gather as _pg
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _compact_by_rank(head, rank, skey, max_out):
+    """Values of skey at the head rows, compacted to the front in rank
+    order: out[p] = skey[row with head & rank==p], -1 where no such row.
+
+    Replaces the head-row scatter `full((max_out,)).at[rows].set(skey)` —
+    a 1-element-per-row serial scatter over ALL input rows (~5 ns/row,
+    4.8 ms/step at nuScenes scale for the voxelizer alone) — with one
+    2-operand compaction sort: ranks are unique, so after sorting by
+    (head ? rank : INT_MAX) the p-th row IS pillar p."""
+    n = rank.shape[0]
+    key3 = jnp.where(head & (rank < max_out), rank, INT_MAX)
+    s3k, s3v = jax.lax.sort([key3, skey], num_keys=1, is_stable=False)
+    if n < max_out:
+        pad = max_out - n
+        s3k = jnp.concatenate([s3k, jnp.full((pad,), INT_MAX, s3k.dtype)])
+        s3v = jnp.concatenate([s3v, jnp.zeros((pad,), s3v.dtype)])
+    return jnp.where(
+        s3k[:max_out] == jnp.arange(max_out, dtype=s3k.dtype),
+        s3v[:max_out], -1,
+    ).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("grid_size", "max_pillars", "nz"))
 def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_pillars, nz):
     """Points -> z-dense pillar grid by per-cell mean.
@@ -102,8 +124,7 @@ def voxelize_pillars(points, points_mask, voxel_size, pc_range, grid_size, max_p
     )
     feats = feat_sum / jnp.maximum(counts, 1)[:, None].astype(points.dtype)
 
-    rows = jnp.where(head & (pillar_idx < max_pillars), pillar_idx, max_pillars)
-    key_of = jnp.full((max_pillars,), -1, dtype=jnp.int32).at[rows].set(skey, mode="drop")
+    key_of = _compact_by_rank(head, pillar_idx, skey, max_pillars)
     pillar_mask = key_of >= 0
     safe = jnp.where(pillar_mask, key_of, 0)
     coords = jnp.where(
@@ -157,8 +178,7 @@ def _voxelize_cells(points, points_mask, voxel_size, pc_range, grid_size,
     ok = svalid & (pillar_idx < max_pillars)
     cell = jnp.where(ok, pillar_idx * nz + sz, max_pillars * nz)
 
-    rows = jnp.where(head & (pillar_idx < max_pillars), pillar_idx, max_pillars)
-    key_of = jnp.full((max_pillars,), -1, jnp.int32).at[rows].set(skey, mode="drop")
+    key_of = _compact_by_rank(head, pillar_idx, skey, max_pillars)
     pillar_mask = key_of >= 0
     safe = jnp.where(pillar_mask, key_of, 0)
     coords = jnp.where(
@@ -732,8 +752,7 @@ def bev_downsample_sites(coords, mask, stride, max_out, bev_shape):
     prev = jnp.concatenate([jnp.array([-1], dtype=skey.dtype), skey[:-1]])
     head = (skey != prev) & (skey != INT_MAX)
     out_idx = jnp.cumsum(head.astype(jnp.int32)) - 1
-    rows = jnp.where(head & (out_idx < max_out), out_idx, max_out)
-    uniq = jnp.full((max_out,), -1, dtype=jnp.int32).at[rows].set(skey, mode="drop")
+    uniq = _compact_by_rank(head, out_idx, skey, max_out)
     out_mask = uniq >= 0
     safe = jnp.where(out_mask, uniq, 0)
     out_coords = jnp.where(
