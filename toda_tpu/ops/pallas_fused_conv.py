@@ -397,16 +397,16 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     # BN + relu in place on the three windows (scale/shift rows are zero on
     # halo and pad rows so those stay exactly zero). Dynamic leading-index
     # access on scratch faults on Mosaic -> predicate per buffer slot.
+    # act=False (raw first layer): the affine is the identity and halo/pad
+    # rows are already zero (i==0 init, never DMA'd) — skip the whole pass.
     sc = sc_ref[:]  # (whalo, 1)
     sh = sh_ref[:]
-    for b in range(NBUF):
-        @pl.when(slot == b)
-        def _(b=b):
-            for g in range(3):
-                y = win[b, g] * sc + sh
-                if cfg["act"]:
-                    y = jnp.maximum(y, 0)
-                win[b, g] = y
+    if cfg["act"]:
+        for b in range(NBUF):
+            @pl.when(slot == b)
+            def _(b=b):
+                for g in range(3):
+                    win[b, g] = jnp.maximum(win[b, g] * sc + sh, 0)
 
     li = li_ref[0]  # (9, 1, B)
     bsz = out_ref.shape[1]
@@ -421,9 +421,12 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
         slot_of = _fwd_slots(identity)
         if identity is not None:
             s8 = slot_of[identity] * bsz
-            xb = xblk_ref[:] * sc[c : c + w0] + sh[c : c + w0]
             if cfg["act"]:
-                xb = jnp.maximum(xb, 0)
+                xb = jnp.maximum(
+                    xblk_ref[:] * sc[c : c + w0] + sh[c : c + w0], 0
+                )
+            else:
+                xb = xblk_ref[:]
             gbuf[pl.ds(c, w0), pl.ds(s8, bsz)] = xb
             gbuf[pl.ds(0, c), pl.ds(s8, bsz)] = jnp.zeros((c, bsz), gbuf.dtype)
             nrest = whalo - c - w0
