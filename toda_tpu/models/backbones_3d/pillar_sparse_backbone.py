@@ -192,6 +192,9 @@ class PillarConvLayerT(nn.Module):
     # dx as a separate kernel that DCE drops unless input gradients are
     # consumed (FGSM perturb path keeps it automatically)
     split_bwd: bool = False
+    # optional (span_fwd, span_bwd) window-span override for the fused
+    # kernel — the down stages have very different per-block window needs
+    spans: tuple = None
 
     @nn.compact
     def __call__(self, flatT, idxf, maskf, training=False, invf=None,
@@ -216,12 +219,13 @@ class PillarConvLayerT(nn.Module):
         nz_out = -(-self.nz // self.z_stride)
         if fused_in is not None:
             can = pfc.fused_ok(flatT.shape, flatT.dtype, c, self.out_channels,
-                               idxf.shape[0], self.nz, self.z_stride)
+                               idxf.shape[0], self.nz, self.z_stride,
+                               self.spans)
             if can:
                 out = pfc.fused_bnconv9_t(
                     flatT, fused_in[0], fused_in[1], w.astype(flatT.dtype),
                     idxf, invf, self.nz, self.z_stride, it, fused_in[2],
-                    split_bwd=self.split_bwd,
+                    split_bwd=self.split_bwd, spans=self.spans,
                 )
             else:
                 # not fusable (e.g. c % 8 != 0 first layer, CPU tests):
@@ -421,6 +425,13 @@ class _PillarBackboneBase(nn.Module):
         xs_out = x1_out
 
         stride = 1
+        # per-stage down-conv window spans (fwd, bwd). One shared span
+        # either overpays gather MACs on early stages or overflows on the
+        # dense late ones (probe need128 at the kernel blocks: down2
+        # 346/425, down3 424/330, down4 723/252 — down4 fwd OVERFLOWED the
+        # old global 640 and silently ran the XLA fallback every step).
+        down_spans = self.model_cfg.get(
+            "DOWN_SPANS", [[512, 512], [512, 384], [896, 384]])
         for si, ch in enumerate(chans[1:], start=2):
             p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(
@@ -432,7 +443,9 @@ class _PillarBackboneBase(nn.Module):
                 coords, mask, new_coords, new_mask, bev_shape, coarse_shape)
             new_maskf = new_mask.reshape(bt * p_out)
             if use_fused:
+                ds = down_spans[min(si - 2, len(down_spans) - 1)]
                 x, aff = PillarConvLayerT(ch, cur_nz, z_stride=2,
+                                          spans=tuple(ds),
                                           name=f"down{si}")(
                     x, fold_idx(nbr, p_in), new_maskf, training,
                     fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf)

@@ -1116,7 +1116,11 @@ def _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act):
 # --------------------------------------------------------------------------
 
 
-def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap):
+def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
+    """spans: optional (span_fwd, span_bwd) per-layer override of the
+    global SPAN_* knobs — the down stages have very different window
+    needs (probe: down2 346, down3 424, down4 723 at blk 128), and one
+    shared span either overpays MACs or silently falls back."""
     zg = fwd_group_size(cout)
     nz_out = -(-nz_in // z_stride)
     nzp_out = -(-nz_out // zg) * zg
@@ -1140,20 +1144,22 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap):
         nzp_in=nzp_in, zg=zg, zg2=zg2, zg_tail=zg_tail, zg2_tail=zg2_tail,
         z_stride=z_stride, act=act,
         identity=identity_tap, whalo=whalo, whalo2=whalo2,
-        span=SPAN_SUBM if z_stride == 1 else SPAN_DOWN,
-        span_bwd=SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN,
+        span=(spans[0] if spans and spans[0] else
+              (SPAN_SUBM if z_stride == 1 else SPAN_DOWN)),
+        span_bwd=(spans[1] if spans and spans[1] else
+                  (SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN)),
         blk_fwd=BLOCK if z_stride == 1 else BLOCK_DOWN,
         blk_bwd=BLOCK_BWD,
     )
 
 
-def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride):
+def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
     """Static gate for the fused kernel path."""
     if INTERPRET:
         pass
     elif jax.default_backend() == "cpu" or dtype != jnp.bfloat16:
         return False
-    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans)
     m_in = x_shape[1]
     eb = 2  # bf16 element bytes
     w0, w2 = nz_in * c, cfg["nz_out"] * cout
@@ -1201,18 +1207,18 @@ def _affine_rows(scale, shift, nrows, c, row0, nreal, dtype):
     return sc[:, None], sh[:, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _fused_core(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
-                identity_tap):
+                identity_tap, spans=None):
     return _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
-                           identity_tap)
+                           identity_tap, spans)
 
 
 def _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
-                    identity_tap):
+                    identity_tap, spans=None):
     c = x.shape[0] // nz_in
     cout = w.shape[-1]
-    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_out = idxf.shape[0]
     meta, li4, overflow = _prologue(idxf, x.shape[1], cfg["span"],
                                     cfg["blk_fwd"])
@@ -1235,9 +1241,9 @@ def _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
 
 
 def _fused_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
-                   identity_tap):
+                   identity_tap, spans=None):
     y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
-                        identity_tap)
+                        identity_tap, spans)
     return y, (x, scale, shift, w, idxf, invf)
 
 
@@ -1287,11 +1293,11 @@ def _mixed_bwd(x, scale, shift, w, idxf, invf, gy, nz_in, z_stride, act,
     return dx.astype(xdt), dscale, dshift, dw.astype(w.dtype)
 
 
-def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
+def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
     x, scale, shift, w, idxf, invf = res
     c = x.shape[0] // nz_in
     cout = w.shape[-1]
-    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_in = x.shape[1]
     w0 = nz_in * c
     gy = gy.astype(x.dtype)
@@ -1363,26 +1369,26 @@ _fused_core.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 # the split.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _fused_core_split(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
-                      identity_tap):
+                      identity_tap, spans=None):
     return _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
-                           identity_tap)
+                           identity_tap, spans)
 
 
 def _split_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
-                   identity_tap):
+                   identity_tap, spans=None):
     y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
-                        identity_tap)
+                        identity_tap, spans)
     return y, (x, scale, shift, w, idxf, invf)
 
 
-def _split_vjp_bwd(nz_in, z_stride, act, identity_tap, res, gy):
+def _split_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
     x, scale, shift, w, idxf, invf = res
     assert not act, "split backward is raw-input (act=False) only"
     c = x.shape[0] // nz_in
     cout = w.shape[-1]
-    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_in = x.shape[1]
     m_out = idxf.shape[0]
     w0 = nz_in * c
@@ -1429,7 +1435,7 @@ _fused_core_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)
 
 
 def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
-                    identity_tap=None, act=True, split_bwd=False):
+                    identity_tap=None, act=True, split_bwd=False, spans=None):
     """Fused relu(x*scale+shift) -> 3x3x3 sparse conv, transposed layout.
 
     Args:
@@ -1452,13 +1458,14 @@ def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
     """
     c = x.shape[0] // nz_in
     cout = weights.shape[-1]
-    if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride):
+    if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride,
+                    spans):
         return _ref_fwd(x, scale, shift, weights, idxf, nz_in, z_stride, act)
     if split_bwd and not act:
         # raw-input first layer: dW-only + DCE-able dx backward (see
         # _fused_core_split); dscale/dshift are zeros — with act=False the
         # affine is the identity constant, not a parameter
         return _fused_core_split(x, scale, shift, weights, idxf, invf, nz_in,
-                                 z_stride, act, identity_tap)
+                                 z_stride, act, identity_tap, spans)
     return _fused_core(x, scale, shift, weights, idxf, invf, nz_in, z_stride,
-                       act, identity_tap)
+                       act, identity_tap, spans)
