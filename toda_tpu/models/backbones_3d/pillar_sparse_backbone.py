@@ -430,8 +430,8 @@ class _PillarBackboneBase(nn.Module):
         # dense late ones (probe need128 at the kernel blocks: down2
         # 346/425, down3 424/330, down4 723/252 — down4 fwd OVERFLOWED the
         # old global 640 and silently ran the XLA fallback every step).
-        down_spans = self.model_cfg.get(
-            "DOWN_SPANS", [[512, 512], [512, 384], [896, 384]])
+        # Defaults live next to the ALIGN64 knob they depend on.
+        down_spans = self.model_cfg.get("DOWN_SPANS", pfc.DEFAULT_DOWN_SPANS)
         for si, ch in enumerate(chans[1:], start=2):
             p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(

@@ -54,16 +54,37 @@ NBUF = 2
 BLOCK = int(os.environ.get("TODA_FUSED_BLOCK", "256"))  # stride-1
 BLOCK_DOWN = int(os.environ.get("TODA_FUSED_BLOCK_DOWN", "128"))  # stride-2 fwd
 BLOCK_BWD = int(os.environ.get("TODA_FUSED_BLOCK_BWD", str(BLOCK)))
+# 1 = 64-aligned window starts via a dual-plane source: every window src
+# is materialized as (2, rows, n) where plane 1 is the same data shifted
+# left by 64 lanes, so a 64-aligned start lands 128-aligned in one of the
+# planes (HBM DMA lane offsets MUST be 128-aligned — measured: 64/8-aligned
+# offsets crash Mosaic). Halves the up-to-127 alignment slack on the span,
+# shrinking the one-hot gather dots by ~25% (subm 512 -> 384).
+# MEASURED OFF (v5e bs8 bench): the XLA-side _double64 passes cost ~29
+# ms/step (335 MB read + 670 MB write per fused layer per direction)
+# against ~13 ms/step of subm dot savings — 36.96 -> 34.4 scans/s net.
+# Doubling in the producer kernels would cut the pass cost ~5x but the
+# projected net (~39 scans/s) still loses to the predicated tail-sub dot
+# (see _wide_group_dots), which gets the same MAC saving with no doubled
+# sources. Kept for the record.
+ALIGN64 = int(os.environ.get("TODA_ALIGN64", "0"))
 # Window spans (lanes), env-tunable. Probed on the bs8 bench workload
 # (4 varied batches, r3): per-dy-group window need at blk 256 is max 325
 # with 8-aligned starts for all subm stages — but window starts must be
 # 128-ALIGNED (lane tiling) and sizes 128-multiples, so the effective
-# need is ~325 + up-to-127 alignment ≈ 450 → 512 is already the minimum
-# legal span (384 overflowed both the bench and the dense block test).
-# Stride-2 forward needs up to 618 at blk 128: 640 stands.
-SPAN_SUBM = int(os.environ.get("TODA_SPAN_SUBM", "512"))
-SPAN_DOWN = int(os.environ.get("TODA_SPAN_DOWN", "640"))
-SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN", "512"))
+# need is ~325 + up-to-127 alignment ≈ 450 → 512 is the minimum legal
+# span (384 overflowed both the bench and the dense block test). With
+# ALIGN64 the slack halves: ~325 + up-to-63 ≈ 388 → 384 covers all but
+# rare blocks (overflow cond falls back). Stride-2 forward needs up to
+# 618 at blk 128 (8-aligned) → 768 with the 64-slack.
+SPAN_SUBM = int(os.environ.get("TODA_SPAN_SUBM", "384" if ALIGN64 else "512"))
+SPAN_DOWN = int(os.environ.get("TODA_SPAN_DOWN", "768" if ALIGN64 else "640"))
+SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN",
+                                   "384" if ALIGN64 else "512"))
+# per-stage (fwd, bwd) down-conv span defaults consumed by the backbone
+# (probe need128/need8 at the kernel blocks; see pillar_sparse_backbone)
+DEFAULT_DOWN_SPANS = ([[384, 384], [384, 384], [768, 256]] if ALIGN64 else
+                      [[512, 512], [512, 384], [896, 384]])
 
 INTERPRET = False
 # debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
@@ -80,6 +101,11 @@ WIDE_FWD = int(os.environ.get("TODA_FUSED_WIDE", "1"))
 # — the predicated tier x position sites serialize in Mosaic; the kernels
 # are issue-bound, so skipped-lane FLOPs never show. Kept for the record.
 LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
+# 1 = split each wide group dot into an always-on dot over the first
+# nsub-1 subwindows + ONE predicated accumulate for the last subwindow
+# (taken only when the group's windowed content reaches it). See
+# _ladder_dots for the rationale vs the full ladder.
+TAIL_SPLIT = int(os.environ.get("TODA_FUSED_TAIL_SPLIT", "1"))
 # 1 = mixed custom VJP: fused Pallas forward + the legacy stacked-gather
 # XLA-GEMM conv backward with the affine/relu chain rule applied on a
 # recomputed pre-activation mask. Wins the isolated 2-layer microbench
@@ -151,6 +177,34 @@ def _group_range(meta_ref, i, ts):
 def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
     """Emit the predicated tier x position group dots for one buffer slot
     predicate set. b_g_oh_list: [(b, g, ts, oh, gstart, wdt)]."""
+    if not LADDER and TAIL_SPLIT and nsub >= 3:
+        # Tail-split: window content always starts in subwindow 0 (the
+        # window lo is floor128 of the group's min index), so the last
+        # 128-lane subwindow is populated only by the widest blocks
+        # (measured reach: tools/probe64 tier fractions). ONE always-on
+        # dot over the first nsub-1 subs + ONE predicated accumulate for
+        # the tail sub trims ~1/nsub of the gather MACs on most blocks,
+        # with two fixed-shape dot sites (the full tier x position ladder
+        # measured 2.4x WORSE — many variable-shape predicated sites
+        # serialize in Mosaic; two fixed sites do not).
+        wmain = (nsub - 1) * 128
+        for b, g, ts, oh, gstart, wdt in b_g_oh_list:
+            _, smax_g = _group_range(meta_ref, i, ts)
+
+            @pl.when(slot == b)
+            def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
+                gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
+                    win[b, g, :, :wmain], oh[:wmain],
+                    preferred_element_type=jnp.float32,
+                ).astype(gbuf.dtype)
+
+            @pl.when((slot == b) & (smax_g >= nsub - 1))
+            def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
+                gbuf[:, pl.ds(gstart, wdt)] += jnp.dot(
+                    win[b, g, :, wmain:], oh[wmain:],
+                    preferred_element_type=jnp.float32,
+                ).astype(gbuf.dtype)
+        return
     tiers = _span_tiers(nsub)
     for b, g, ts, oh, gstart, wdt in b_g_oh_list:
         smin_g, smax_g = _group_range(meta_ref, i, ts)
@@ -301,10 +355,16 @@ def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
 # --------------------------------------------------------------------------
 
 
-def _prologue(idx, n, span, block=BLOCK):
+def _prologue(idx, n, span, block=BLOCK, align=None):
     """idx (M, 9) folded tap tables -> meta (nblk, 21), li (nblk, 9, 1, B),
     overflow. Same dy-group window math as pallas_gather._stacked_prologue,
-    but li is NOT sublane-replicated (8x less metadata traffic)."""
+    but li is NOT sublane-replicated (8x less metadata traffic).
+
+    align: window-start alignment (default 64 under ALIGN64 else 128).
+    64-aligned starts require the kernel's DMA source to be the dual-plane
+    doubled form (_double64) so the HBM lane offset stays 128-aligned."""
+    if align is None:
+        align = 64 if ALIGN64 else 128
     m = idx.shape[0]
     nblk = m // block
     blk = idx.reshape(nblk, block, 9)
@@ -316,8 +376,8 @@ def _prologue(idx, n, span, block=BLOCK):
         gv = valid[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
         lo = jnp.min(jnp.where(gv, grp, INT_MAX), axis=1)
         lo = jnp.where(lo == INT_MAX, 0, lo)
-        lo = (lo // 128) * 128
-        lo = jnp.minimum(lo, ((n - span) // 128) * 128).astype(jnp.int32)
+        lo = (lo // align) * align
+        lo = jnp.minimum(lo, ((n - span) // align) * align).astype(jnp.int32)
         vli = grp - lo[:, None]
         overflow = overflow | jnp.any(gv & (vli >= span))
         li = jnp.where(gv, jnp.clip(vli, 0, span), span).astype(jnp.int32)
@@ -334,6 +394,27 @@ def _prologue(idx, n, span, block=BLOCK):
     # FLAT (nblk*21,): Mosaic pads each row of a 2-D prefetched SMEM operand
     # to 128 lanes, so (2048, 21) i32 would claim the full 1 MB SMEM budget
     return meta.reshape(-1), li4, overflow
+
+
+def _double64(a):
+    """(rows, n) -> (2, rows, n): plane 0 is `a`, plane 1 is `a` shifted
+    left by 64 lanes (zero tail). A 64-aligned window start lo then reads
+    128-aligned from plane (lo//64)&1 at offset lo - 64*plane — the only
+    legal way to 64-align window DMAs (lane offsets must be 128-aligned)."""
+    sh = jnp.pad(a[:, 64:], ((0, 0), (0, 64)))
+    return jnp.stack([a, sh])
+
+
+def _win_src(src, lo, span):
+    """Window slice of the kernel's DMA source for start `lo` (an SMEM
+    scalar read from meta). Under ALIGN64 `src` is the (2, rows, n)
+    dual-plane form and lo is 64-aligned; otherwise src is (rows, n) and
+    lo is 128-aligned."""
+    if ALIGN64:
+        plane = jax.lax.rem(jax.lax.div(lo, 64), 2)
+        off = pl.multiple_of(lo - plane * 64, 128)
+        return src.at[plane, :, pl.ds(off, span)]
+    return src.at[:, pl.ds(pl.multiple_of(lo, 128), span)]
 
 
 # --------------------------------------------------------------------------
@@ -360,9 +441,8 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
             pltpu.make_async_copy(
-                src.at[:, pl.ds(off, span)],
+                _win_src(src, meta_ref[blk * 21 + g], span),
                 win.at[slot, g, pl.ds(c, w0)],
                 sem.at[slot, g],
             ).start()
@@ -389,7 +469,7 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
+            _win_src(src, meta_ref[i * 21 + g], span),
             win.at[slot, g, pl.ds(c, w0)],
             sem.at[slot, g],
         ).wait()
@@ -529,7 +609,8 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
         pl.BlockSpec((9, ks * c, cfg["zg"] * cout), lambda i, mt: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [meta, x, li4, sc_h, sh_h, wband]
+    src = _double64(x) if ALIGN64 else x
+    args = [meta, src, li4, sc_h, sh_h, wband]
     if identity is not None:
         in_specs.append(
             pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM)
@@ -597,9 +678,8 @@ def _dw_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, gyblk_ref,
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
             pltpu.make_async_copy(
-                src.at[:, pl.ds(off, span)],
+                _win_src(src, meta_ref[blk * 21 + g], span),
                 win.at[slot, g, pl.ds(c, w0)],
                 sem.at[slot, g],
             ).start()
@@ -625,7 +705,7 @@ def _dw_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, gyblk_ref,
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
+            _win_src(src, meta_ref[i * 21 + g], span),
             win.at[slot, g, pl.ds(c, w0)],
             sem.at[slot, g],
         ).wait()
@@ -705,7 +785,8 @@ def _call_dw(x, sc_h, sh_h, gy, meta, li4, m_out, cfg):
         pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((w2, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
     ]
-    args = [meta, x, li4, sc_h, sh_h, gy]
+    src = _double64(x) if ALIGN64 else x
+    args = [meta, src, li4, sc_h, sh_h, gy]
     if identity is not None:
         in_specs.append(
             pl.BlockSpec((w0, blk), lambda i, mt: (0, i),
@@ -804,9 +885,8 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     def start(blk, slot):
         for g in range(3):
-            off = pl.multiple_of(meta_ref[blk * 21 + g], 128)
             pltpu.make_async_copy(
-                src.at[:, pl.ds(off, span)],
+                _win_src(src, meta_ref[blk * 21 + g], span),
                 win.at[slot, g, pl.ds(ht * cout, w2)],
                 sem.at[slot, g],
             ).start()
@@ -823,7 +903,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     slot = i % nbuf
     for g in range(3):
         pltpu.make_async_copy(
-            src.at[:, pl.ds(pl.multiple_of(meta_ref[i * 21 + g], 128), span)],
+            _win_src(src, meta_ref[i * 21 + g], span),
             win.at[slot, g, pl.ds(ht * cout, w2)],
             sem.at[slot, g],
         ).wait()
@@ -1005,7 +1085,8 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
         pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [meta, gy, li4, sc_x, sh_x, wback]
+    src = _double64(gy) if ALIGN64 else gy
+    args = [meta, src, li4, sc_x, sh_x, wback]
     if want_dw:
         in_specs.append(
             pl.BlockSpec((w0, blk), lambda i, mt: (0, i),

@@ -859,6 +859,11 @@ def _merge_ranks_multi(segments):
 # hardware-dependent (sorts are fixed-cost-heavy, searchsorted is
 # latency-bound) — A/B on chip via this knob.
 RANK_VIA_SEARCHSORTED = int(os.environ.get("TODA_RANK_SEARCHSORTED", "0"))
+# down-table rank-window geometry (bev_down_tables_batched): span of the
+# windowed compare-count and queries per block. Work scales with span.
+RANK_SPAN_DOWNF = int(os.environ.get("TODA_RANK_SPAN_DOWNF", "704"))
+RANK_SPAN_DOWNI = int(os.environ.get("TODA_RANK_SPAN_DOWNI", "384"))
+RANK_QBLK_DOWN = int(os.environ.get("TODA_RANK_QBLK_DOWN", "128"))
 
 
 def _merge_ranks(key, enc, kmax):
@@ -1178,10 +1183,14 @@ def bev_down_tables_batched(fine_coords, fine_mask, coarse_coords, coarse_mask,
     b, pc = enc_f.shape[:2]
     pf = enc_i.shape[1]
     # down-forward rank spreads reach ~620 per 128-query block
-    # (tools/probe_group_spans.py) -> span 768
-    r_f = _ranks_auto_batched(fkey, enc_f.reshape(b, pc, 12), ny * nx, 704)
+    # (tools/probe_group_spans.py); 64-query blocks roughly halve the
+    # spread, and the compare-count work scales with span (knobs for
+    # on-chip A/B; overflow falls back to the exact sort either way)
+    r_f = _ranks_auto_batched(fkey, enc_f.reshape(b, pc, 12), ny * nx,
+                              RANK_SPAN_DOWNF, qblk=RANK_QBLK_DOWN)
     r_i = _ranks_auto_batched(ckey, enc_i.reshape(b, pf, 9),
-                              coarse_bev_shape[0] * coarse_bev_shape[1], 384)
+                              coarse_bev_shape[0] * coarse_bev_shape[1],
+                              RANK_SPAN_DOWNI, qblk=RANK_QBLK_DOWN)
     nbr = jax.vmap(
         lambda rr, kk, oo, om: _subm_assemble(rr, kk, oo, om, 2, False)
     )(r_f.reshape(b, pc, 3, 4), fkey, ok_f, coarse_mask)
