@@ -101,11 +101,13 @@ WIDE_FWD = int(os.environ.get("TODA_FUSED_WIDE", "1"))
 # — the predicated tier x position sites serialize in Mosaic; the kernels
 # are issue-bound, so skipped-lane FLOPs never show. Kept for the record.
 LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
-# 1 = split each wide group dot into an always-on dot over the first
-# nsub-1 subwindows + ONE predicated accumulate for the last subwindow
-# (taken only when the group's windowed content reaches it). See
-# _ladder_dots for the rationale vs the full ladder.
-TAIL_SPLIT = int(os.environ.get("TODA_FUSED_TAIL_SPLIT", "1"))
+# N = split each wide group dot into an always-on dot over the first
+# nsub-min(N, nsub-2) subwindows + one predicated accumulate per tail
+# subwindow (taken only when the group's windowed content reaches it).
+# Measured (v5e bs8): 1 -> 38.02, 2 -> 38.41, 3 -> 38.53, 4 -> 38.56
+# scans/s (vs 36.93 full-span). See _ladder_dots for why this wins where
+# the full tier x position ladder lost.
+TAIL_SPLIT = int(os.environ.get("TODA_FUSED_TAIL_SPLIT", "4"))
 # 1 = mixed custom VJP: fused Pallas forward + the legacy stacked-gather
 # XLA-GEMM conv backward with the affine/relu chain rule applied on a
 # recomputed pre-activation mask. Wins the isolated 2-layer microbench
@@ -177,17 +179,17 @@ def _group_range(meta_ref, i, ts):
 def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
     """Emit the predicated tier x position group dots for one buffer slot
     predicate set. b_g_oh_list: [(b, g, ts, oh, gstart, wdt)]."""
-    if not LADDER and TAIL_SPLIT and nsub >= 3:
+    ntail = min(TAIL_SPLIT, nsub - 2) if not LADDER else 0
+    if ntail > 0:
         # Tail-split: window content always starts in subwindow 0 (the
         # window lo is floor128 of the group's min index), so the last
-        # 128-lane subwindow is populated only by the widest blocks
-        # (measured reach: tools/probe64 tier fractions). ONE always-on
-        # dot over the first nsub-1 subs + ONE predicated accumulate for
-        # the tail sub trims ~1/nsub of the gather MACs on most blocks,
-        # with two fixed-shape dot sites (the full tier x position ladder
-        # measured 2.4x WORSE — many variable-shape predicated sites
-        # serialize in Mosaic; two fixed sites do not).
-        wmain = (nsub - 1) * 128
+        # 128-lane subwindow(s) are populated only by the widest blocks.
+        # ONE always-on dot over the first nsub-ntail subs + a predicated
+        # accumulate per tail sub trims up to ntail/nsub of the gather
+        # MACs on most blocks, with fixed-shape dot sites (the full tier
+        # x position ladder measured 2.4x WORSE — many variable-shape
+        # predicated sites serialize in Mosaic; a few fixed sites do not).
+        wmain = (nsub - ntail) * 128
         for b, g, ts, oh, gstart, wdt in b_g_oh_list:
             _, smax_g = _group_range(meta_ref, i, ts)
 
@@ -198,12 +200,14 @@ def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
                     preferred_element_type=jnp.float32,
                 ).astype(gbuf.dtype)
 
-            @pl.when((slot == b) & (smax_g >= nsub - 1))
-            def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
-                gbuf[:, pl.ds(gstart, wdt)] += jnp.dot(
-                    win[b, g, :, wmain:], oh[wmain:],
-                    preferred_element_type=jnp.float32,
-                ).astype(gbuf.dtype)
+            for k in range(nsub - ntail, nsub):
+                @pl.when((slot == b) & (smax_g >= k))
+                def _(b=b, g=g, k=k, oh=oh, gstart=gstart, wdt=wdt):
+                    gbuf[:, pl.ds(gstart, wdt)] += jnp.dot(
+                        win[b, g, :, k * 128 : (k + 1) * 128],
+                        oh[k * 128 : (k + 1) * 128],
+                        preferred_element_type=jnp.float32,
+                    ).astype(gbuf.dtype)
         return
     tiers = _span_tiers(nsub)
     for b, g, ts, oh, gstart, wdt in b_g_oh_list:
