@@ -108,6 +108,11 @@ LADDER = int(os.environ.get("TODA_FUSED_LADDER", "0"))
 # scans/s (vs 36.93 full-span). See _ladder_dots for why this wins where
 # the full tier x position ladder lost.
 TAIL_SPLIT = int(os.environ.get("TODA_FUSED_TAIL_SPLIT", "4"))
+# 1 = the shared backward kernel also emits dx (= g_relu * scale rows) and
+# the dscale/dshift lane-sum accumulators, replacing three full-tensor XLA
+# epilogue passes per act-layer (dx scaling + the two (nz,c,M) reshape
+# reductions) with two tiny in-kernel ones-dots.
+FUSED_AFFINE_BWD = int(os.environ.get("TODA_FUSED_AFFINE_BWD", "1"))
 # 1 = mixed custom VJP: fused Pallas forward + the legacy stacked-gather
 # XLA-GEMM conv backward with the affine/relu chain rule applied on a
 # recomputed pre-activation mask. Wins the isolated 2-layer microbench
@@ -845,9 +850,32 @@ def extract_dw_fwd(dwacc, c, cout, zg, z_stride, dtype):
 # --------------------------------------------------------------------------
 
 
+def _bwd_epilogue(cfg, gout_ref, acc, xr, relu_m, sc_ref, ds_ref, dsh_ref,
+                  w0):
+    """Write the block's dx and (when ds_ref is set) accumulate the affine
+    gradients in-kernel: dx = g_relu * scale-rows, dscale += sum_lanes
+    g_relu * x, dshift += sum_lanes g_relu — the lane reductions ride ONE
+    tiny (w0, B)x(B, 8) ones-dot each, replacing three full-tensor XLA
+    passes per layer (dx scaling + the dscale/dshift reshape-reduces)."""
+    gpre = acc[pl.ds(0, w0)]
+    if not cfg["act"]:
+        gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
+        return
+    grl = gpre.astype(xr.dtype) * relu_m  # g_relu, the pre-affine cotangent
+    if ds_ref is None:
+        gout_ref[pl.ds(0, w0)] = grl.astype(gout_ref.dtype)
+        return
+    gout_ref[pl.ds(0, w0)] = (grl * sc_ref[:]).astype(gout_ref.dtype)
+    ones = jnp.ones((grl.shape[1], 8), grl.dtype)
+    ds_ref[:, :] += jax.lax.dot(grl * xr, ones,
+                                preferred_element_type=jnp.float32)
+    dsh_ref[:, :] += jax.lax.dot(grl, ones,
+                                 preferred_element_type=jnp.float32)
+
+
 def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
-                gyblk_ref, gout_ref, dw_ref, win, gbuf, acc, xbb, sem,
-                want_dw=True):
+                gyblk_ref, gout_ref, dw_ref, ds_ref, dsh_ref, win, gbuf, acc,
+                xbb, sem, want_dw=True):
     """Gathers gy (the conv output cotangent) by the INVERSE tables, applies
     the transposed band to produce the pre-activation cotangent, multiplies
     by the recomputed relu mask, and accumulates per-tap dW outer products.
@@ -886,6 +914,9 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                     )
         if want_dw:
             dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        if ds_ref is not None:
+            ds_ref[:, :] = jnp.zeros(ds_ref.shape, ds_ref.dtype)
+            dsh_ref[:, :] = jnp.zeros(dsh_ref.shape, dsh_ref.dtype)
 
     def start(blk, slot):
         for g in range(3):
@@ -914,7 +945,7 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
 
     bsz = gout_ref.shape[1]
     # recompute xb = relu(bn(x)) for the dW products, and the relu mask
-    relu_m = None
+    relu_m = xr = None
     if cfg["act"] or want_dw:
         xr = xblk_ref[:]
         sc = sc_ref[:]
@@ -985,13 +1016,8 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                         preferred_element_type=jnp.float32,
                     )  # (krows, ncols)
                     dw_ref[t, :krows, :ncols] += dcon
-        gpre = acc[pl.ds(0, w0)]
-        if cfg["act"]:
-            gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
-                gout_ref.dtype
-            )
-        else:
-            gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
+        _bwd_epilogue(cfg, gout_ref, acc, xr, relu_m,
+                      sc_ref, ds_ref, dsh_ref, w0)
         return
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
@@ -1052,13 +1078,8 @@ def _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
                 )  # (krows, ncols)
                 dw_ref[t, :krows, :ncols] += dcon
 
-    gpre = acc[pl.ds(0, w0)]
-    if cfg["act"]:
-        gout_ref[pl.ds(0, w0)] = (gpre.astype(xr.dtype) * relu_m).astype(
-            gout_ref.dtype
-        )
-    else:
-        gout_ref[pl.ds(0, w0)] = gpre.astype(gout_ref.dtype)
+    _bwd_epilogue(cfg, gout_ref, acc, xr, relu_m,
+                  sc_ref, ds_ref, dsh_ref, w0)
 
 
 def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
@@ -1105,6 +1126,8 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
         )
         args.append(gy)
 
+    fae = bool(cfg["act"]) and want_dw and FUSED_AFFINE_BWD
+
     def kern(meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, *rest):
         if want_dw:
             xblk_ref = rest[0]
@@ -1116,14 +1139,19 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
             rest = rest[1:]
         else:
             gyblk_ref = None
+        ds_ref = dsh_ref = None
         if want_dw:
-            gout_ref, dw_ref, win, gbuf, acc, xbb, sem = rest
+            if fae:
+                gout_ref, dw_ref, ds_ref, dsh_ref, win, gbuf, acc, xbb, \
+                    sem = rest
+            else:
+                gout_ref, dw_ref, win, gbuf, acc, xbb, sem = rest
         else:
             gout_ref, win, gbuf, acc, sem = rest
             dw_ref = xbb = None
         _bwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref,
-                    xblk_ref, gyblk_ref, gout_ref, dw_ref, win, gbuf, acc,
-                    xbb, sem, want_dw=want_dw)
+                    xblk_ref, gyblk_ref, gout_ref, dw_ref, ds_ref, dsh_ref,
+                    win, gbuf, acc, xbb, sem, want_dw=want_dw)
 
     out_specs = [
         pl.BlockSpec((w0, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
@@ -1137,6 +1165,13 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
         out_shape.append(
             jax.ShapeDtypeStruct((9, k2 * cout, zg2 * c), jnp.float32)
         )
+    if fae:
+        for _ in range(2):  # dscale / dshift lane-sum accumulators
+            out_specs.append(
+                pl.BlockSpec((w0, 8), lambda i, mt: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((w0, 8), jnp.float32))
     scratch = [
         pltpu.VMEM((NBUF, 3, whalo2, span), gy.dtype),
         pltpu.VMEM((whalo2, 9 * blk if WIDE_FWD else blk), gy.dtype),
@@ -1397,10 +1432,17 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
     def fast():
         wback = band_bwd_weights(w, cfg["zg2"], z_stride).astype(x.dtype)
         sc_x, sh_x = _affine_rows(scale, shift, w0, c, 0, w0, x.dtype)
-        g_relu, dwacc = _call_bwd(gy, x, sc_x, sh_x, wback, meta2, li42,
-                                  m_in, cfg)
-        dw = extract_dw(dwacc, c, cout, cfg["zg2"], z_stride, w.dtype)
-        if act:
+        res_b = _call_bwd(gy, x, sc_x, sh_x, wback, meta2, li42, m_in, cfg)
+        if act and FUSED_AFFINE_BWD:
+            # kernel already scaled dx and lane-summed the affine grads
+            # (every lane of the (w0, 8) ones-dot holds the full lane-sum)
+            dx, dwacc, dsacc, dshacc = res_b
+            dscale = (dsacc[:, 0].reshape(nz_in, c).sum(0)
+                      .astype(scale.dtype))
+            dshift = (dshacc[:, 0].reshape(nz_in, c).sum(0)
+                      .astype(shift.dtype))
+        elif act:
+            g_relu, dwacc = res_b
             scr = jnp.tile(scale.astype(x.dtype), nz_in)[:, None]
             dx = g_relu * scr
             g3 = g_relu.astype(jnp.float32).reshape(nz_in, c, m_in)
@@ -1408,9 +1450,11 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
             dscale = (g3 * x3).sum(axis=(0, 2)).astype(scale.dtype)
             dshift = g3.sum(axis=(0, 2)).astype(shift.dtype)
         else:
+            g_relu, dwacc = res_b
             dx = g_relu
             dscale = jnp.zeros_like(scale)
             dshift = jnp.zeros_like(shift)
+        dw = extract_dw(dwacc, c, cout, cfg["zg2"], z_stride, w.dtype)
         return dx.astype(x.dtype), dscale, dshift, dw
 
     def slow():
