@@ -46,7 +46,7 @@ from . import pallas_gather as _pg
 
 INT_MAX = np.iinfo(np.int32).max
 
-NBUF = 2
+NBUF = int(os.environ.get("TODA_FUSED_NBUF", "2"))
 # output-block lanes. Smaller blocks shrink the per-dy-group window spans
 # (tools/probe_group_spans.py: subm need128 at blk 128 is ~298 vs ~423 at
 # blk 256) and gather MACs scale with span x M independent of blk, at the

@@ -1007,12 +1007,35 @@ def _scatter_prologue(idx, n, m, span=None):
     prev = jnp.concatenate([jnp.full((1,), -1, idxm.dtype), idxm[:-1]])
     nonmono = jnp.any(valid & (idx < prev))
     tile_starts = jnp.arange(nblk, dtype=jnp.int32) * BLOCK
-    a = jnp.searchsorted(idxm, tile_starts, side="left").astype(jnp.int32)
-    b = jnp.searchsorted(idxm, tile_starts + BLOCK, side="left").astype(jnp.int32)
-    # 64-aligned window starts: lets the window table below be built from
-    # 64-element blocks. The ≤56-row extra slack is negligible vs the span
+    # Ranks of the tile boundaries via a coarse compare-count instead of
+    # jnp.searchsorted: searchsorted lowers to a while-loop binary search
+    # with per-iteration gathers (traced at ~3 ms/step for 10k queries at
+    # nuScenes scale, pure latency). idxm is MONOTONE, so block j of 64 is
+    # entirely < q iff its last element idxm[64j+63] < q — the coarse count
+    # t = #(idxm[63::64] < q) equals floor(searchsorted(idxm, q)/64)
+    # EXACTLY. That is all `c` (64-aligned starts) needs; `b` must stay
+    # EXACT (a +64 slop can cross a sample boundary into the next sample's
+    # valid rows and re-trigger the tail-overflow bug the posv clamp
+    # fixed), so refine it with one wide-row gather of the boundary block.
+    coarse = idxm[63::64]  # (m//64,) last element of each full 64-block
+    nfull = coarse.shape[0]
+    qb = tile_starts + BLOCK
+    if nfull == 0:  # tiny arrays: the binary-search cost is irrelevant
+        c = jnp.zeros(nblk, jnp.int32)
+        b = jnp.searchsorted(idxm, qb, side="left").astype(jnp.int32)
+    else:
+        qs = jnp.concatenate([tile_starts, qb])
+        t_ab = jnp.sum(coarse[None, :] < qs[:, None], axis=1,
+                       dtype=jnp.int32)  # (2*nblk,)
+        c = t_ab[:nblk] * 64
+        t_b = t_ab[nblk:]
+        im64 = idxm[: nfull * 64].reshape(nfull, 64)
+        rowb = jnp.take(im64, jnp.minimum(t_b, nfull - 1), axis=0)
+        fine = jnp.sum(rowb < qb[:, None], axis=1, dtype=jnp.int32)
+        # block t_b's last element is >= q, so nothing past it is < q
+        b = jnp.where(t_b >= nfull, m, 64 * t_b + fine)
+    # The ≤63-row extra slack on starts is negligible vs the span
     # (true post-compaction windows are ~100 rows, span is 512-640).
-    c = (a // 64) * 64
     c = jnp.minimum(c, ((m - span) // 64) * 64)
     c = jnp.maximum(c, 0).astype(jnp.int32)
     # overflow must count only VALID rows in the window: with batched
