@@ -272,3 +272,55 @@ def test_residual_block_fused_flow_matches_legacy(monkeypatch, interpret):
         ),
         st_fused["batch_stats"], st_legacy["batch_stats"],
     )
+
+
+@pytest.mark.parametrize(
+    "align64,tail_split,fused_affine",
+    [(1, 4, 1), (0, 0, 1), (0, 2, 0), (1, 1, 0)],
+)
+def test_fused_kernel_knob_matrix(monkeypatch, align64, tail_split,
+                                  fused_affine):
+    """The kernel-path knobs (dual-plane 64-aligned windows, predicated
+    tail-sub dots, in-kernel affine backward) must all agree with the
+    XLA reference on forward AND gradients, in any combination."""
+    monkeypatch.setattr(pfc, "ALIGN64", align64)
+    monkeypatch.setattr(pfc, "TAIL_SPLIT", tail_split)
+    monkeypatch.setattr(pfc, "FUSED_AFFINE_BWD", fused_affine)
+    rng = np.random.default_rng(7)
+    nz, c, cout = 5, 16, 16
+    x, scale, shift, w, idx, inv, mask = _subm_setup(rng, nz=nz, c=c,
+                                                     cout=cout)
+    # f32: the knob paths only change dot grouping / accumulation order, so
+    # in f32 they must agree to float noise (bf16 order-rounding on the
+    # dscale/dshift sums reaches ~4 abs and would mask a real defect)
+    x, w = x.astype(jnp.float32), w.astype(jnp.float32)
+    scale, shift = scale.astype(jnp.float32), shift.astype(jnp.float32)
+    _no_overflow(idx, x.shape[1], pfc.SPAN_SUBM)
+    _no_overflow(inv, x.shape[1], pfc.SPAN_SUBM)
+    r = jnp.asarray(rng.standard_normal((nz * cout, x.shape[1])), jnp.float32)
+    r = r * jnp.asarray(mask, jnp.float32)[None, :]
+
+    def loss_fused(x_, s_, b_, w_):
+        y = pfc.fused_bnconv9_t(x_, s_, b_, w_, idx, inv, nz, 1, 4, True)
+        return jnp.sum((y * r).astype(jnp.float32))
+
+    def loss_ref(x_, s_, b_, w_):
+        y = pfc._ref_fwd(x_, s_, b_, w_, idx, nz, 1, True)
+        return jnp.sum((y * r).astype(jnp.float32))
+
+    yf = pfc.fused_bnconv9_t(x, scale, shift, w, idx, inv, nz, 1, 4, True)
+    yr = pfc._ref_fwd(x, scale, shift, w, idx, nz, 1, True)
+    _masked_close(yf, yr, mask, 1e-3)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, scale, shift, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, scale, shift, w)
+    _masked_close(gf[0], gr[0], mask, 1e-3)
+    for a, b, name in [(gf[1], gr[1], "dscale"), (gf[2], gr[2], "dshift")]:
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-2, rtol=1e-3, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(gf[3], np.float32), np.asarray(gr[3], np.float32),
+        atol=1e-2, rtol=1e-3, err_msg="dW",
+    )
