@@ -157,6 +157,10 @@ def test_multiprocess_train_step_matches_single(tmp_path):
         port = s.getsockname()[1]
     out_json = tmp_path / "rank0.json"
     env = dict(**__import__("os").environ)
+    # exercise the debug cross-host checksum assert (SURVEY §5 race
+    # detector) inside the real 2-process train loop: a desynced optimizer
+    # step or local-shard mixup fails the worker, failing this test
+    env["TODA_DEBUG_CHECKSUM"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # workers use 1 virtual device each
     procs = [

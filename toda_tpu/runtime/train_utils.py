@@ -7,6 +7,7 @@ come from host wall-clock around the device step (the reference's
 data_time/forward_time/batch_time surface, train_utils.py:23-86).
 """
 
+import os
 import time
 from pathlib import Path
 from typing import Any
@@ -105,6 +106,11 @@ def train_model(
     if mesh is not None:
         state = replicate(state, mesh)
 
+    # debug-mode cross-host race detector (SURVEY §5): every N iters all
+    # processes checksum their view of the replicated params and assert
+    # agreement. 0 = off (the default; it costs a host transfer + barrier).
+    checksum_every = int(os.environ.get("TODA_DEBUG_CHECKSUM", "0"))
+
     accumulated_iter = int(state.step)
     total_its = len(train_loader)
     for cur_epoch in range(start_epoch, total_epochs):
@@ -129,6 +135,12 @@ def train_model(
             if hooks:
                 for h in hooks:
                     h(state, batch, tb, accumulated_iter)
+            if checksum_every and accumulated_iter % checksum_every == 0:
+                from ..utils import commu_utils
+
+                commu_utils.assert_params_in_sync(
+                    state.params, tag=f"iter {accumulated_iter}"
+                )
             accumulated_iter += 1
             batch_meter.update(time.time() - end)
             end = time.time()

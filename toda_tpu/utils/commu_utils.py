@@ -98,3 +98,39 @@ def concat_all_gather(array):
         return np.asarray(array)
     parts = all_gather(np.asarray(array))
     return np.concatenate(parts, axis=0)
+
+
+def params_checksum(tree):
+    """Cheap order-independent checksum of this process's addressable view
+    of a (replicated) pytree: f64 sum of per-leaf abs-sums."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            arr = np.asarray(leaf.addressable_shards[0].data)
+        else:
+            arr = np.asarray(leaf)
+        total += float(np.abs(arr.astype(np.float64)).sum())
+    return total
+
+
+def assert_params_in_sync(tree, tag="params", rtol=1e-9):
+    """Debug-mode cross-host race detector (SURVEY §5 rebuild item: the
+    reference has no sanitizers; the TPU analog is an explicit cross-host
+    checksum assert). Every process checksums its addressable view of the
+    replicated parameters and asserts all processes agree — a divergence
+    means a desynced optimizer step, a non-deterministic host-side input
+    path leaking into params, or a collective bug. Gate via
+    TODA_DEBUG_CHECKSUM=N (checked every N train iters). No-op single-process
+    only in the sense that agreement is trivially true."""
+    local = params_checksum(tree)
+    sums = all_gather(local)
+    ref = sums[0]
+    bad = [
+        (r, s) for r, s in enumerate(sums)
+        if abs(s - ref) > rtol * max(abs(ref), 1.0)
+    ]
+    if bad:
+        raise AssertionError(
+            f"cross-host param checksum divergence at {tag}: rank sums {sums}"
+        )
+    return local
