@@ -111,6 +111,51 @@ def test_permuted_down_conv_matches_unpermuted():
         np.asarray(gx_p[:, dest]), np.asarray(gx_ref), atol=1e-4, rtol=1e-4)
 
 
+def test_batch_folded_parity_composition():
+    """The backbone's folded (gidxf, destf) arrays: composing the folded
+    down table through destf and gathering the folded activation through
+    gidxf must reproduce the plain folded down conv for a 2-sample batch
+    (pins the p_p vs p_in offset bookkeeping)."""
+    from toda_tpu.models.backbones_3d.pillar_sparse_backbone import (
+        build_parity_fold,
+        fold_idx,
+    )
+
+    rng = np.random.default_rng(7)
+    ny = nx = 48
+    p, p_out, nz, c, cout, bt = 512, 512, 5, 8, 8, 2
+    cs, ms, ns, vs, ocs, oms = [], [], [], [], [], []
+    for b in range(bt):
+        coords, mask = _sorted_coords(rng, p, ny, nx, 300 + 60 * b)
+        oc, om = bev_downsample_sites(coords, mask, 2, p_out, (ny, nx))
+        nbr, inv = bev_down_tables(coords, mask, oc, om, (ny, nx),
+                                   (ny // 2, nx // 2))
+        cs.append(coords); ms.append(mask); ns.append(nbr); vs.append(inv)
+        ocs.append(oc); oms.append(om)
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    nbrf = fold_idx(jnp.stack(ns), p)
+    invf = fold_idx(jnp.stack(vs), p_out)
+    omf = jnp.stack(oms).reshape(-1)
+    pblk = 128
+    gidxf, destf = build_parity_fold(coords, mask, pblk=pblk)
+    p_p = p + 4 * pblk
+    assert destf.shape == (bt * p,) and gidxf.shape == (bt * p_p,)
+
+    x = jnp.asarray(rng.standard_normal((nz * c, bt * p)), jnp.float32)
+    x = jnp.where(jnp.stack(ms).reshape(-1)[None, :], x, 0.0)
+    w = jnp.asarray(0.3 * rng.standard_normal((3, 3, 3, c, cout)), jnp.float32)
+
+    y_ref = pillar_conv3d_t(x, nbrf, w, omf, nz, 2, None, invf)
+    xp = jnp.where(gidxf[None, :] >= 0,
+                   x[:, jnp.clip(gidxf, 0)], 0.0)
+    nbr_p = jnp.where(nbrf >= 0, destf[jnp.clip(nbrf, 0)], -1)
+    inv_p_rows = jnp.where(gidxf[:, None] >= 0,
+                           invf[jnp.clip(gidxf, 0)], -1)
+    y_p = pillar_conv3d_t(xp, nbr_p, w, omf, nz, 2, None, inv_p_rows)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_permute_lanes_t_roundtrip_and_grad():
     rng = np.random.default_rng(3)
     w, m = 16, 512

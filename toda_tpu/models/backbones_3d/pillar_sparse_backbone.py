@@ -18,6 +18,8 @@ These backbones consume raw points directly (the per-cell mean IS the MeanVFE of
 this layout); the detector skips its generic voxelization path for them.
 """
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,6 +32,7 @@ from ...ops.pillar_sparse import (
     bev_neighbor_idx,
     bev_neighbor_idx_sorted_batched,
     build_bev_map,
+    parity_permutation_batched,
     pillar_conv3d,
     pillar_conv3d_t,
     pillars_to_dense,
@@ -38,6 +41,23 @@ from ...ops.pillar_sparse import (
     voxelize_pillars_batched,
 )
 from ..model_utils.masked_norm import MaskedBatchNorm
+
+
+def build_parity_fold(coords, mask, pblk=256):
+    """Folded (gidxf, destf) plane-major permutation arrays for the parity
+    down conv (see ops/pallas_fused_conv PARITY_GROUPS): sample b's permuted
+    lanes live at [b*p_p, (b+1)*p_p) with p_p = P + 4*pblk (plane regions
+    padded to the permutation gather's block so destination blocks are
+    plane-pure). gidxf indexes the UNPADDED folded fine space (-1 = gap);
+    destf maps every folded fine lane to its padded permuted lane."""
+    bt, p_in = mask.shape
+    p_p = p_in + 4 * pblk
+    dest, gidx = parity_permutation_batched(coords, mask, block=pblk)
+    offs_p = (jnp.arange(bt, dtype=jnp.int32) * p_p)[:, None]
+    offs_f = (jnp.arange(bt, dtype=jnp.int32) * p_in)[:, None]
+    destf = (dest + offs_p).reshape(-1)
+    gidxf = jnp.where(gidx >= 0, gidx + offs_f, -1).reshape(-1)
+    return gidxf, destf
 
 
 def fold_idx(idx, p_in):
@@ -198,7 +218,7 @@ class PillarConvLayerT(nn.Module):
 
     @nn.compact
     def __call__(self, flatT, idxf, maskf, training=False, invf=None,
-                 fused_in=None, in_maskf=None):
+                 fused_in=None, in_maskf=None, parity=None):
         """Legacy contract (fused_in=None): applied tensor in, applied
         (bn+relu+masked) tensor out, conv via pillar_conv3d_t + separate BN.
 
@@ -208,7 +228,9 @@ class PillarConvLayerT(nn.Module):
         activation pass) and returns (raw_out, (out_scale, out_shift, True))
         for the next layer. BN statistics/averages are identical either way.
         in_maskf: input-lane mask (defaults to maskf; differs for stride 2),
-        only needed by the non-fusable fallback's explicit apply."""
+        only needed by the non-fusable fallback's explicit apply.
+        parity: optional (gidxf, destf) plane-major permutation arrays for
+        the stride-2 parity-window forward (see pallas_fused_conv)."""
         c = flatT.shape[0] // self.nz
         w = self.param(
             "kernel",
@@ -220,12 +242,13 @@ class PillarConvLayerT(nn.Module):
         if fused_in is not None:
             can = pfc.fused_ok(flatT.shape, flatT.dtype, c, self.out_channels,
                                idxf.shape[0], self.nz, self.z_stride,
-                               self.spans)
+                               self.spans, parity=parity is not None)
             if can:
                 out = pfc.fused_bnconv9_t(
                     flatT, fused_in[0], fused_in[1], w.astype(flatT.dtype),
                     idxf, invf, self.nz, self.z_stride, it, fused_in[2],
                     split_bwd=self.split_bwd, spans=self.spans,
+                    parity=parity,
                 )
             else:
                 # not fusable (e.g. c % 8 != 0 first layer, CPU tests):
@@ -432,6 +455,11 @@ class _PillarBackboneBase(nn.Module):
         # old global 640 and silently ran the XLA fallback every step).
         # Defaults live next to the ALIGN64 knob they depend on.
         down_spans = self.model_cfg.get("DOWN_SPANS", pfc.DEFAULT_DOWN_SPANS)
+        # parity-window down convs (plane-major-permuted forward windows;
+        # see ops/pallas_fused_conv PARITY_GROUPS). Fine-order fallbacks
+        # compute identical values, so this is purely a kernel choice.
+        use_parity = bool(self.model_cfg.get(
+            "PARITY_DOWN", int(os.environ.get("TODA_PARITY_DOWN", "1"))))
         for si, ch in enumerate(chans[1:], start=2):
             p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(
@@ -443,12 +471,19 @@ class _PillarBackboneBase(nn.Module):
                 coords, mask, new_coords, new_mask, bev_shape, coarse_shape)
             new_maskf = new_mask.reshape(bt * p_out)
             if use_fused:
-                ds = down_spans[min(si - 2, len(down_spans) - 1)]
+                ds = list(down_spans[min(si - 2, len(down_spans) - 1)])
+                parity = None
+                if use_parity:
+                    parity = build_parity_fold(coords, mask)
+                    ds[0] = tuple(
+                        pfc.DEFAULT_PARITY_SPANS[
+                            min(si - 2, len(pfc.DEFAULT_PARITY_SPANS) - 1)])
                 x, aff = PillarConvLayerT(ch, cur_nz, z_stride=2,
                                           spans=tuple(ds),
                                           name=f"down{si}")(
                     x, fold_idx(nbr, p_in), new_maskf, training,
-                    fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf)
+                    fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf,
+                    parity=parity)
             else:
                 x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
                     x, fold_idx(nbr, p_in), new_maskf, training,

@@ -85,6 +85,17 @@ SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN",
 # (probe need128/need8 at the kernel blocks; see pillar_sparse_backbone)
 DEFAULT_DOWN_SPANS = ([[384, 384], [384, 384], [768, 256]] if ALIGN64 else
                       [[512, 512], [512, 384], [896, 384]])
+# parity-mode per-group forward span default (PARITY_GROUPS order); the
+# (1,7) group spans two coarse a-rows so it needs one extra subwindow on
+# the later stages (probe tools/probe_parity_spans.py: down2 max 229,
+# down3/4 group (1,7) 279/335, others <= 243)
+PARITY_SPAN = int(os.environ.get("TODA_PARITY_SPAN", "0")) or None
+# per-stage parity fwd spans (down2, down3, down4), PARITY_GROUPS order
+DEFAULT_PARITY_SPANS = [
+    (256, 256, 256, 256, 256),
+    (256, 256, 384, 256, 256),
+    (256, 256, 384, 256, 256),
+]
 
 INTERPRET = False
 # debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
@@ -131,14 +142,29 @@ SKIP_DW = int(os.environ.get("TODA_FUSED_SKIP_DW", "0"))
 GROUP_LANES = int(os.environ.get("TODA_GROUP_LANES", "128"))
 
 
-def _fwd_slots(identity):
-    """Tap -> gbuf lane-slot. Non-identity taps keep t order (so each
-    dy-group's slots are contiguous for the wide group dot); identity last."""
-    taps = [t for t in range(9) if t != identity]
+# default window grouping: taps share a window per BEV row offset dy (rows
+# are far apart in the key-sorted rank space, columns adjacent). The parity
+# grouping (stride-2 convs on a plane-major-permuted table) groups taps by
+# the (y&1, x&1) plane they land in, with the corner plane split per a-row —
+# each group is then a slope-1 single-row stream and the spans drop ~2.5x.
+DY_GROUPS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
+PARITY_GROUPS = ((4,), (3, 5), (1, 7), (0, 2), (6, 8))
+
+
+def _fwd_slots(identity, groups=DY_GROUPS):
+    """Tap -> gbuf lane-slot: taps take slots in group-iteration order (so
+    each group's slots are contiguous for the wide group dot); identity
+    last."""
+    taps = [t for ts in groups for t in ts if t != identity]
     slot = {t: k for k, t in enumerate(taps)}
     if identity is not None:
         slot[identity] = 8
     return slot
+
+
+def _group_of(groups):
+    """Tap -> group index."""
+    return {t: gi for gi, ts in enumerate(groups) for t in ts}
 
 
 def _span_tiers(nsub):
@@ -171,21 +197,45 @@ def _bwd_band_iter(cfg):
                bwd_tail_slabs(zg2e, s) * cout, zg2e * c)
 
 
-def _group_range(meta_ref, i, ts):
+def _meta_ms(cfg):
+    """(meta stride, smin base) for the fwd meta layout of cfg."""
+    ng = len(cfg["groups"])
+    sbase = ng * (2 if cfg["ne"] else 1)
+    return sbase + 18, sbase
+
+
+def _group_range(meta_ref, i, ts, ms=21, sbase=3):
     """Union (smin, smax) 128-lane subwindow range over a group's taps."""
-    smin_g = meta_ref[i * 21 + 3 + ts[0]]
-    smax_g = meta_ref[i * 21 + 12 + ts[0]]
+    smin_g = meta_ref[i * ms + sbase + ts[0]]
+    smax_g = meta_ref[i * ms + sbase + 9 + ts[0]]
     for t in ts[1:]:
-        smin_g = jnp.minimum(smin_g, meta_ref[i * 21 + 3 + t])
-        smax_g = jnp.maximum(smax_g, meta_ref[i * 21 + 12 + t])
+        smin_g = jnp.minimum(smin_g, meta_ref[i * ms + sbase + t])
+        smax_g = jnp.maximum(smax_g, meta_ref[i * ms + sbase + 9 + t])
     return smin_g, smax_g
 
 
-def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
+def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub,
+                 ms=21, sbase=3, ne_of=None, spans_g=None):
     """Emit the predicated tier x position group dots for one buffer slot
-    predicate set. b_g_oh_list: [(b, g, ts, oh, gstart, wdt)]."""
-    ntail = min(TAIL_SPLIT, nsub - 2) if not LADDER else 0
-    if ntail > 0:
+    predicate set. b_g_oh_list: [(b, g, ts, oh, gstart, wdt)].
+    spans_g: per-group spans (defaults to nsub*128 for every group).
+    ne_of(g): group-nonempty scalar predicate — when given, the main dot is
+    skipped and the gbuf region zero-stored for empty groups."""
+    get_nsub = (lambda g: spans_g[g] // 128) if spans_g else (lambda g: nsub)
+    if ne_of is not None:
+        done = set()
+        for _, g, ts, oh, gstart, wdt in b_g_oh_list:
+            if g in done:
+                continue
+            done.add(g)
+
+            @pl.when(ne_of(g) == 0)
+            def _(gstart=gstart, wdt=wdt):
+                gbuf[:, pl.ds(gstart, wdt)] = jnp.zeros(
+                    (gbuf.shape[0], wdt), gbuf.dtype)
+
+    ntail_glob = TAIL_SPLIT if not LADDER else 0
+    if ntail_glob > 0:
         # Tail-split: window content always starts in subwindow 0 (the
         # window lo is floor128 of the group's min index), so the last
         # 128-lane subwindow(s) are populated only by the widest blocks.
@@ -194,18 +244,25 @@ def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
         # MACs on most blocks, with fixed-shape dot sites (the full tier
         # x position ladder measured 2.4x WORSE — many variable-shape
         # predicated sites serialize in Mosaic; a few fixed sites do not).
-        wmain = (nsub - ntail) * 128
         for b, g, ts, oh, gstart, wdt in b_g_oh_list:
-            _, smax_g = _group_range(meta_ref, i, ts)
+            nsub_g = get_nsub(g)
+            ntail = min(TAIL_SPLIT, nsub_g - 2)
+            if ntail < 0:
+                ntail = 0
+            wmain = (nsub_g - ntail) * 128
+            _, smax_g = _group_range(meta_ref, i, ts, ms, sbase)
+            main_pred = slot == b
+            if ne_of is not None:
+                main_pred = main_pred & (ne_of(g) != 0)
 
-            @pl.when(slot == b)
-            def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt):
+            @pl.when(main_pred)
+            def _(b=b, g=g, oh=oh, gstart=gstart, wdt=wdt, wmain=wmain):
                 gbuf[:, pl.ds(gstart, wdt)] = jnp.dot(
                     win[b, g, :, :wmain], oh[:wmain],
                     preferred_element_type=jnp.float32,
                 ).astype(gbuf.dtype)
 
-            for k in range(nsub - ntail, nsub):
+            for k in range(nsub_g - ntail, nsub_g):
                 @pl.when((slot == b) & (smax_g >= k))
                 def _(b=b, g=g, k=k, oh=oh, gstart=gstart, wdt=wdt):
                     gbuf[:, pl.ds(gstart, wdt)] += jnp.dot(
@@ -216,7 +273,7 @@ def _ladder_dots(win, slot, b_g_oh_list, gbuf, meta_ref, i, identity, nsub):
         return
     tiers = _span_tiers(nsub)
     for b, g, ts, oh, gstart, wdt in b_g_oh_list:
-        smin_g, smax_g = _group_range(meta_ref, i, ts)
+        smin_g, smax_g = _group_range(meta_ref, i, ts, ms, sbase)
         width_g = smax_g - smin_g + 1
         for ti, w in enumerate(tiers):
             lo_excl = tiers[ti - 1] if ti else 0
@@ -364,44 +421,76 @@ def extract_dw(dwacc, c, cout, zg2, z_stride, dtype):
 # --------------------------------------------------------------------------
 
 
-def _prologue(idx, n, span, block=BLOCK, align=None):
-    """idx (M, 9) folded tap tables -> meta (nblk, 21), li (nblk, 9, 1, B),
-    overflow. Same dy-group window math as pallas_gather._stacked_prologue,
+def _prologue(idx, n, span, block=BLOCK, align=None, groups=DY_GROUPS,
+              with_ne=False):
+    """idx (M, 9) folded tap tables -> meta (nblk, ms), li (nblk, 9, 1, B),
+    overflow. Same per-group window math as pallas_gather._stacked_prologue,
     but li is NOT sublane-replicated (8x less metadata traffic).
+
+    groups: window grouping of the 9 taps (DY_GROUPS default; PARITY_GROUPS
+    for stride-2 convs on a plane-major-permuted table). `span` may be a
+    scalar or a per-group tuple. with_ne=True appends a per-group nonempty
+    flag after the lo words (the kernel skips the group's DMA and dots when
+    0 — parity groups are empty for 1/3 of down4 blocks).
+    Meta layout: [lo(ng) | ne(ng if with_ne) | smin(9) | smax(9)], flat.
 
     align: window-start alignment (default 64 under ALIGN64 else 128).
     64-aligned starts require the kernel's DMA source to be the dual-plane
     doubled form (_double64) so the HBM lane offset stays 128-aligned."""
     if align is None:
         align = 64 if ALIGN64 else 128
+    ng = len(groups)
+    spans = (span,) * ng if np.isscalar(span) else tuple(span)
     m = idx.shape[0]
     nblk = m // block
     blk = idx.reshape(nblk, block, 9)
     valid = blk >= 0
-    los, lis, vlis = [], [], []
+    los, nes = [], []
+    li_t = [None] * 9
+    vli_t = [None] * 9
     overflow = jnp.zeros((), bool)
-    for g in range(3):
-        grp = blk[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
-        gv = valid[:, :, 3 * g : 3 * g + 3].reshape(nblk, -1)
+    for g, ts in enumerate(groups):
+        sp = spans[g]
+        grp = blk[:, :, list(ts)].reshape(nblk, -1)
+        gv = valid[:, :, list(ts)].reshape(nblk, -1)
         lo = jnp.min(jnp.where(gv, grp, INT_MAX), axis=1)
-        lo = jnp.where(lo == INT_MAX, 0, lo)
+        ne = lo != INT_MAX
+        lo = jnp.where(ne, lo, 0)
         lo = (lo // align) * align
-        lo = jnp.minimum(lo, ((n - span) // align) * align).astype(jnp.int32)
+        lo = jnp.minimum(lo, ((n - sp) // align) * align).astype(jnp.int32)
         vli = grp - lo[:, None]
-        overflow = overflow | jnp.any(gv & (vli >= span))
-        li = jnp.where(gv, jnp.clip(vli, 0, span), span).astype(jnp.int32)
+        overflow = overflow | jnp.any(gv & (vli >= sp))
+        li = jnp.where(gv, jnp.clip(vli, 0, sp), sp).astype(jnp.int32)
         los.append(lo)
-        lis.append(li.reshape(nblk, block, 3))
-        vlis.append(vli.reshape(nblk, block, 3))
-    lo3 = jnp.stack(los, axis=1)
-    li9 = jnp.concatenate(lis, axis=2)  # (nblk, B, 9)
+        nes.append(ne.astype(jnp.int32))
+        li3 = li.reshape(nblk, block, len(ts))
+        vli3 = vli.reshape(nblk, block, len(ts))
+        for k, t in enumerate(ts):
+            li_t[t] = li3[:, :, k]
+            vli_t[t] = vli3[:, :, k]
+    lo_g = jnp.stack(los, axis=1)
+    li9 = jnp.stack(li_t, axis=2)  # (nblk, B, 9), tap order
     li4 = li9.transpose(0, 2, 1)[:, :, None, :]  # (nblk, 9, 1, B)
+    # per-tap subwindow ranges relative to the TAP'S OWN group span (the
+    # sentinel for _sub_ranges is the tap's group span; use the max so the
+    # clip below keeps empty taps out of range for every group)
+    gof = _group_of(groups)
+    sub_l, sub_v = [], []
+    for t in range(9):
+        sub_l.append(vli_t[t])
+        sub_v.append(valid[:, :, t])
     smin, smax = _pg._sub_ranges(
-        jnp.concatenate(vlis, axis=2), valid.reshape(nblk, block, 9), span
+        jnp.stack(sub_l, axis=2), jnp.stack(sub_v, axis=2), max(spans)
     )
-    meta = jnp.concatenate([lo3, smin, smax], axis=1)  # (nblk, 21)
-    # FLAT (nblk*21,): Mosaic pads each row of a 2-D prefetched SMEM operand
-    # to 128 lanes, so (2048, 21) i32 would claim the full 1 MB SMEM budget
+    # clamp per-tap smax to its group's subwindow count (empty -> (0, 0))
+    nsub_t = jnp.asarray([spans[gof[t]] // 128 for t in range(9)], jnp.int32)
+    smin = jnp.minimum(smin, nsub_t[None] - 1)
+    smax = jnp.minimum(smax, nsub_t[None] - 1)
+    parts = [lo_g] + ([jnp.stack(nes, axis=1)] if with_ne else []) + [smin,
+                                                                      smax]
+    meta = jnp.concatenate(parts, axis=1)  # (nblk, ms)
+    # FLAT (nblk*ms,): Mosaic pads each row of a 2-D prefetched SMEM operand
+    # to 128 lanes, so (2048, ms) i32 would claim the full 1 MB SMEM budget
     return meta.reshape(-1), li4, overflow
 
 
@@ -441,27 +530,43 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
     zg, s = cfg["zg"], cfg["z_stride"]
     identity = cfg["identity"]
     w0 = cfg["nz_in"] * c
-    ng = cfg["nzp_out"] // zg
+    ngz = cfg["nzp_out"] // zg
     ks = fwd_band_slabs(zg, s)
+    groups = cfg["groups"]
+    spans_g = cfg["spans_g"]
+    ngr = len(groups)
+    ms, sbase = _meta_ms(cfg)
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     nbuf, _, whalo, span = win.shape
     nsub = span // 128
 
+    def ne_of(blk, g):
+        return meta_ref[blk * ms + ngr + g] if cfg["ne"] else None
+
+    def one_group(blk, slot, g, op):
+        copy = pltpu.make_async_copy(
+            _win_src(src, meta_ref[blk * ms + g], spans_g[g]),
+            win.at[slot, g, pl.ds(c, w0), pl.ds(0, spans_g[g])],
+            sem.at[slot, g],
+        )
+        if cfg["ne"]:
+            @pl.when(ne_of(blk, g) != 0)
+            def _():
+                getattr(copy, op)()
+        else:
+            getattr(copy, op)()
+
     def start(blk, slot):
-        for g in range(3):
-            pltpu.make_async_copy(
-                _win_src(src, meta_ref[blk * 21 + g], span),
-                win.at[slot, g, pl.ds(c, w0)],
-                sem.at[slot, g],
-            ).start()
+        for g in range(ngr):
+            one_group(blk, slot, g, "start")
 
     @pl.when(i == 0)
     def _():
         # zero the halo/pad window rows once (never DMA'd, so zeros persist;
         # uninitialized VMEM could hold NaN bit patterns, and 0*NaN != 0)
         for b in range(nbuf):
-            for g in range(3):
+            for g in range(ngr):
                 win[b, g, pl.ds(0, c)] = jnp.zeros((c, span), win.dtype)
                 nrest = whalo - c - w0
                 if nrest:
@@ -476,12 +581,8 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
         start(i + nbuf - 1, (i + nbuf - 1) % nbuf)
 
     slot = i % nbuf
-    for g in range(3):
-        pltpu.make_async_copy(
-            _win_src(src, meta_ref[i * 21 + g], span),
-            win.at[slot, g, pl.ds(c, w0)],
-            sem.at[slot, g],
-        ).wait()
+    for g in range(ngr):
+        one_group(i, slot, g, "wait")
 
     # BN + relu in place on the three windows (scale/shift rows are zero on
     # halo and pad rows so those stay exactly zero). Dynamic leading-index
@@ -494,20 +595,20 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
         for b in range(NBUF):
             @pl.when(slot == b)
             def _(b=b):
-                for g in range(3):
+                for g in range(ngr):
                     win[b, g] = jnp.maximum(win[b, g] * sc + sh, 0)
 
     li = li_ref[0]  # (9, 1, B)
     bsz = out_ref.shape[1]
 
     if WIDE_FWD:
-        # Wide-gather path: per dy-group, ONE full-span dot against the
+        # Wide-gather path: per window group, ONE full-span dot against the
         # group's taps' one-hots concatenated along lanes. Trades ~1.6x raw
         # gather MACs (no subwindow predication) for ~7x fewer MXU issues and
         # zero cross-sub VMEM read-modify-write accumulation — the measured
         # bottleneck of the sub-dot loop (kernel is MXU-issue-bound, window
         # DMA runs at ~690 GB/s).
-        slot_of = _fwd_slots(identity)
+        slot_of = _fwd_slots(identity, groups)
         if identity is not None:
             s8 = slot_of[identity] * bsz
             if cfg["act"]:
@@ -524,17 +625,20 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             )
         sites = []
         gstart = 0
-        for g in range(3):
-            ts = [t for t in (3 * g, 3 * g + 1, 3 * g + 2) if t != identity]
+        for g in range(ngr):
+            ts = [t for t in groups[g] if t != identity]
+            if not ts:
+                continue
             wdt = len(ts) * bsz
             licat = jnp.concatenate([li[t] for t in ts], axis=-1)  # (1, wdt)
-            giota = jax.lax.broadcasted_iota(jnp.int32, (span, wdt), 0)
+            giota = jax.lax.broadcasted_iota(jnp.int32, (spans_g[g], wdt), 0)
             oh = (giota == licat).astype(gbuf.dtype)
             for b in range(NBUF):
                 sites.append((b, g, ts, oh, gstart, wdt))
             gstart += wdt
         _ladder_dots(win, slot, sites, gbuf, meta_ref, i, identity,
-                     span // 128)
+                     span // 128, ms, sbase,
+                     (lambda g: ne_of(i, g)) if cfg["ne"] else None, spans_g)
         for t in range(9):
             soff = slot_of[t] * bsz
             for gz, zge, r0, krows, mcols in _fwd_band_iter(cfg):
@@ -551,7 +655,7 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
         out_ref[:, :] = acc[:, :].astype(out_ref.dtype)
         return
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (span, bsz), 0)
+    gof = _group_of(groups)
 
     for t in range(9):
         if t == identity:
@@ -563,12 +667,14 @@ def _fwd_kernel(cfg, meta_ref, src, li_ref, sc_ref, sh_ref, wb_ref, xblk_ref,
             nrest = whalo - c - w0
             gbuf[pl.ds(c + w0, nrest)] = jnp.zeros((nrest, bsz), gbuf.dtype)
         else:
-            g = t // 3
-            smin = meta_ref[i * 21 + 3 + t]
-            smax = meta_ref[i * 21 + 12 + t]
+            g = gof[t]
+            nsub_g = spans_g[g] // 128
+            iota = jax.lax.broadcasted_iota(jnp.int32, (spans_g[g], bsz), 0)
+            smin = meta_ref[i * ms + sbase + t]
+            smax = meta_ref[i * ms + sbase + 9 + t]
             onehot = (iota == li[t]).astype(gbuf.dtype)
             for b in range(NBUF):
-                for sub in range(nsub):
+                for sub in range(nsub_g):
                     oh = onehot[sub * 128 : (sub + 1) * 128]
 
                     @pl.when((slot == b) & (smin == sub))
@@ -644,10 +750,10 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
         out_specs=pl.BlockSpec((w2, blk), lambda i, mt: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 3, whalo, span), x.dtype),
+            pltpu.VMEM((NBUF, len(cfg["groups"]), whalo, span), x.dtype),
             pltpu.VMEM((whalo, 9 * blk if WIDE_FWD else blk), x.dtype),
             pltpu.VMEM((w2, blk), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 3)),
+            pltpu.SemaphoreType.DMA((NBUF, len(cfg["groups"]))),
         ],
     )
     return pl.pallas_call(
@@ -1236,11 +1342,20 @@ def _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act):
 # --------------------------------------------------------------------------
 
 
-def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
+def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None,
+              parity=False):
     """spans: optional (span_fwd, span_bwd) per-layer override of the
     global SPAN_* knobs — the down stages have very different window
     needs (probe: down2 346, down3 424, down4 723 at blk 128), and one
-    shared span either overpays MACs or silently falls back."""
+    shared span either overpays MACs or silently falls back. span_fwd may
+    be a per-group tuple (parity mode).
+
+    parity=True (z_stride=2 only): the forward consumes a plane-major-
+    permuted input table with PARITY_GROUPS windows (probe: per-group needs
+    175-335 vs 325-1119 for dy groups on the unpermuted table) and per-group
+    empty flags (down4 blocks miss whole planes 1/3 of the time). The
+    backward is unchanged — it computes dx in the ORIGINAL fine order from
+    the unpermuted inverse tables, so it never touches the permutation."""
     zg = fwd_group_size(cout)
     nz_out = -(-nz_in // z_stride)
     nzp_out = -(-nz_out // zg) * zg
@@ -1259,13 +1374,25 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
         ((ng2 - 1) * goff + bwd_tail_slabs(zg2_tail, z_stride)) * cout,
         (ht + nz_out) * cout,  # must cover the DMA'd gy rows
     )
+    groups = PARITY_GROUPS if parity else DY_GROUPS
+    sp_fwd = spans[0] if spans and spans[0] else None
+    if parity:
+        assert z_stride == 2, "parity windows are for stride-2 convs"
+        if sp_fwd is None:
+            sp_fwd = PARITY_SPAN or 384
+        spans_g = ((sp_fwd,) * len(groups) if np.isscalar(sp_fwd)
+                   else tuple(sp_fwd))
+    else:
+        assert sp_fwd is None or np.isscalar(sp_fwd)
+        spans_g = ((sp_fwd or (SPAN_SUBM if z_stride == 1 else SPAN_DOWN)),
+                   ) * 3
     return dict(
         c=c, cout=cout, nz_in=nz_in, nz_out=nz_out, nzp_out=nzp_out,
         nzp_in=nzp_in, zg=zg, zg2=zg2, zg_tail=zg_tail, zg2_tail=zg2_tail,
         z_stride=z_stride, act=act,
         identity=identity_tap, whalo=whalo, whalo2=whalo2,
-        span=(spans[0] if spans and spans[0] else
-              (SPAN_SUBM if z_stride == 1 else SPAN_DOWN)),
+        groups=groups, spans_g=spans_g, ne=bool(parity),
+        span=max(spans_g),
         span_bwd=(spans[1] if spans and spans[1] else
                   (SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN)),
         blk_fwd=BLOCK if z_stride == 1 else BLOCK_DOWN,
@@ -1273,13 +1400,14 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
     )
 
 
-def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
+def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None,
+             parity=False):
     """Static gate for the fused kernel path."""
     if INTERPRET:
         pass
     elif jax.default_backend() == "cpu" or dtype != jnp.bfloat16:
         return False
-    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans, parity)
     m_in = x_shape[1]
     eb = 2  # bf16 element bytes
     w0, w2 = nz_in * c, cfg["nz_out"] * cout
@@ -1288,7 +1416,7 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
     # pipelines each block spec x2)
     bf = cfg["blk_fwd"]
     fwd_vmem = (
-        NBUF * 3 * cfg["whalo"] * cfg["span"] * eb
+        NBUF * len(cfg["groups"]) * cfg["whalo"] * cfg["span"] * eb
         + cfg["whalo"] * (9 * bf if WIDE_FWD else bf) * eb
         + w2 * bf * 4
         + 2 * (w2 + w0) * bf * eb  # out + identity xblk
@@ -1365,6 +1493,68 @@ def _fused_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
     y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
                         identity_tap, spans)
     return y, (x, scale, shift, w, idxf, invf)
+
+
+# ---- parity variant: plane-major-permuted forward, fine-order backward ----
+
+
+def _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in, act,
+                     spans):
+    """Forward with PARITY_GROUPS windows: materialize the plane-major-
+    permuted input (values only — never differentiated through; the
+    backward computes dx in fine order from the unpermuted inverse tables)
+    and run the fused kernel on the composed tap table destf[idxf]."""
+    c = x.shape[0] // nz_in
+    cout = w.shape[-1]
+    cfg = _make_cfg(c, cout, nz_in, 2, act, None, spans, parity=True)
+    m_out = idxf.shape[0]
+    xp = _pg.gather_rows_taps_t(x, gidxf[:, None], span=_pg.PERM_SPAN)[0]
+    idxp = jnp.where(idxf >= 0, destf[jnp.clip(idxf, 0)], -1)
+    meta, li4, overflow = _prologue(
+        idxp, xp.shape[1], cfg["spans_g"], cfg["blk_fwd"],
+        groups=cfg["groups"], with_ne=cfg["ne"])
+    sc_h, sh_h = _affine_rows(scale, shift, cfg["whalo"], c, c, nz_in * c,
+                              x.dtype)
+    wband = band_fwd_weights(w, cfg["zg"], 2).astype(x.dtype)
+
+    def fast():
+        return _call_fwd(xp, sc_h, sh_h, wband, meta, li4, m_out, cfg)
+
+    def slow():
+        # fine-order reference: the permutation is purely a window-locality
+        # optimization, so the unpermuted gather computes the same values
+        return _ref_fwd(x, scale, shift, w, idxf, nz_in, 2, act)
+
+    if FORCE_PATH == 1:
+        return fast()
+    if FORCE_PATH == 2:
+        return slow()
+    return jax.lax.cond(overflow, slow, fast)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _fused_core_parity(x, scale, shift, w, idxf, invf, gidxf, destf, nz_in,
+                       act, spans):
+    return _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in,
+                            act, spans)
+
+
+def _parity_vjp_fwd(x, scale, shift, w, idxf, invf, gidxf, destf, nz_in,
+                    act, spans):
+    y = _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in, act,
+                         spans)
+    return y, (x, scale, shift, w, idxf, invf)
+
+
+def _parity_vjp_bwd(nz_in, act, spans, res, gy):
+    # identical to the standard backward: dx in fine order via the
+    # unpermuted inverse tables (the permutation never enters the backward)
+    out = _fused_vjp_bwd(nz_in, 2, act, None, (None, spans[1] if spans else
+                                               None), res, gy)
+    return out + (None, None)
+
+
+_fused_core_parity.defvjp(_parity_vjp_fwd, _parity_vjp_bwd)
 
 
 def _mixed_bwd(x, scale, shift, w, idxf, invf, gy, nz_in, z_stride, act,
@@ -1564,7 +1754,8 @@ _fused_core_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)
 
 
 def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
-                    identity_tap=None, act=True, split_bwd=False, spans=None):
+                    identity_tap=None, act=True, split_bwd=False, spans=None,
+                    parity=None):
     """Fused relu(x*scale+shift) -> 3x3x3 sparse conv, transposed layout.
 
     Args:
@@ -1588,8 +1779,16 @@ def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
     c = x.shape[0] // nz_in
     cout = weights.shape[-1]
     if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride,
-                    spans):
+                    spans, parity=parity is not None):
+        # the parity permutation is purely a kernel-window optimization;
+        # the unpermuted reference computes identical values
         return _ref_fwd(x, scale, shift, weights, idxf, nz_in, z_stride, act)
+    if parity is not None:
+        assert z_stride == 2 and identity_tap is None and not split_bwd
+        gidxf, destf = parity
+        return _fused_core_parity(x, scale, shift, weights, idxf, invf,
+                                  gidxf, destf, nz_in, act,
+                                  spans if spans is None else tuple(spans))
     if split_bwd and not act:
         # raw-input first layer: dW-only + DCE-able dx backward (see
         # _fused_core_split); dscale/dshift are zeros — with act=False the

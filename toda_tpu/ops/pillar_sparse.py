@@ -1225,11 +1225,17 @@ def bev_down_tables(fine_coords, fine_mask, coarse_coords, coarse_mask,
 # they are the existing tables composed with the destination map.
 
 
-def parity_destinations(coords, mask):
+def parity_destinations(coords, mask, block=None):
     """Per-sample destination lane of each site under the plane-major
     permutation: stable partition by plane id (y&1)*2 + (x&1), invalid
-    sites parked after all valid ones in order. Returns dest (P,) int32,
-    a bijection on [0, P). coords (P, 2) (y, x); mask (P,) bool."""
+    sites parked after all valid ones in order. Returns dest (P,) int32.
+
+    block=None: a bijection on [0, P). block=B: each plane's region start
+    is padded up to a multiple of B (gap lanes between planes), so every
+    B-aligned destination block is PLANE-PURE — required by the span-window
+    permutation gather (a block straddling two planes would union two
+    distant source ranges and overflow its window). The padded lane space
+    is [0, P + 4*B); invalid sites fill the tail region in order."""
     plane = (coords[:, 0] & 1) * 2 + (coords[:, 1] & 1)
     plane = jnp.where(mask, plane, 4).astype(jnp.int32)
     onehot = (plane[:, None] == jnp.arange(5, dtype=jnp.int32)[None]).astype(
@@ -1237,27 +1243,32 @@ def parity_destinations(coords, mask):
     cum = jnp.cumsum(onehot, axis=0)  # inclusive per-plane counts
     within = jnp.sum(onehot * cum, axis=1) - 1
     totals = cum[-1]
+    if block:
+        padded = -(-totals[:4] // block) * block
+        sizes = jnp.concatenate([padded, totals[4:]])
+    else:
+        sizes = totals
     offsets = jnp.concatenate(
-        [jnp.zeros((1,), totals.dtype), jnp.cumsum(totals)[:-1]])
+        [jnp.zeros((1,), sizes.dtype), jnp.cumsum(sizes)[:-1]])
     return (jnp.sum(onehot * offsets[None], axis=1) + within).astype(jnp.int32)
 
 
-def parity_permutation_batched(coords, mask):
+def parity_permutation_batched(coords, mask, block=None):
     """Batched (dest, gidx): dest (B, P) destination of each source lane,
-    gidx (B, P) source of each destination lane (dest's inverse)."""
-    dest = jax.vmap(parity_destinations)(coords, mask)
+    gidx (B, P_p) source of each destination lane (-1 for the gap lanes a
+    `block` padding introduces; P_p = P + 4*block when padding)."""
+    dest = jax.vmap(lambda c, m: parity_destinations(c, m, block))(
+        coords, mask)
     b, p = dest.shape
+    pp = p + 4 * block if block else p
     src = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None], (b, p))
-    gidx = jnp.zeros((b, p), jnp.int32)
-    gidx = jax.vmap(lambda d, s: jnp.zeros((p,), jnp.int32).at[d].set(s))(
-        dest, src)
+    gidx = jax.vmap(
+        lambda d, s: jnp.full((pp,), -1, jnp.int32).at[d].set(s)
+    )(dest, src)
     return dest, gidx
 
 
-# window span for the permutation gather kernels: destination blocks map to
-# sources at slope ~4 (every ~4th fine site feeds one plane), so the window
-# need is ~4*BLOCK_T + alignment slack
-PERM_SPAN = int(os.environ.get("TODA_PERM_SPAN", "1408"))
+PERM_SPAN = _pg.PERM_SPAN
 
 
 @jax.custom_vjp
