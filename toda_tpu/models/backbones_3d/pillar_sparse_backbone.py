@@ -458,8 +458,15 @@ class _PillarBackboneBase(nn.Module):
         # parity-window down convs (plane-major-permuted forward windows;
         # see ops/pallas_fused_conv PARITY_GROUPS). Fine-order fallbacks
         # compute identical values, so this is purely a kernel choice.
-        use_parity = bool(self.model_cfg.get(
-            "PARITY_DOWN", int(os.environ.get("TODA_PARITY_DOWN", "1"))))
+        # PARITY_DOWN: "0"/"" = off, "1" = all down stages, or a digit
+        # string of stage indices (e.g. "4" = down4 only — the stage where
+        # the slope-4 dy spans are worst and the permutation gather is
+        # cheapest relative to the conv).
+        parity_cfg = str(self.model_cfg.get(
+            "PARITY_DOWN", os.environ.get("TODA_PARITY_DOWN", "1")))
+        parity_stages = (set() if parity_cfg in ("0", "", "False") else
+                         {2, 3, 4} if parity_cfg in ("1", "True") else
+                         {int(ch) for ch in parity_cfg if ch.isdigit()})
         for si, ch in enumerate(chans[1:], start=2):
             p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(
@@ -473,7 +480,7 @@ class _PillarBackboneBase(nn.Module):
             if use_fused:
                 ds = list(down_spans[min(si - 2, len(down_spans) - 1)])
                 parity = None
-                if use_parity:
+                if si in parity_stages:
                     parity = build_parity_fold(coords, mask)
                     ds[0] = tuple(
                         pfc.DEFAULT_PARITY_SPANS[
