@@ -463,7 +463,7 @@ class _PillarBackboneBase(nn.Module):
         # the slope-4 dy spans are worst and the permutation gather is
         # cheapest relative to the conv).
         parity_cfg = str(self.model_cfg.get(
-            "PARITY_DOWN", os.environ.get("TODA_PARITY_DOWN", "1")))
+            "PARITY_DOWN", os.environ.get("TODA_PARITY_DOWN", "0")))
         parity_stages = (set() if parity_cfg in ("0", "", "False") else
                          {2, 3, 4} if parity_cfg in ("1", "True") else
                          {int(ch) for ch in parity_cfg if ch.isdigit()})
