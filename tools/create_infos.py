@@ -1,0 +1,126 @@
+"""Dataset info-pkl generation CLI — the analog of the reference's
+`python -m pcdet.datasets.<x>.<x>_dataset create_<x>_infos` entry points
+(ref kitti_dataset.py:425-470, nuscenes_dataset.py:500-560,
+waymo_dataset.py:660-720), unified under one dispatcher.
+
+KITTI, nuScenes and Waymo run devkit-free; Lyft and Pandaset require their
+devkits (the underlying create_* functions raise with instructions).
+
+Examples:
+  python tools/create_infos.py kitti    --data_path data/kitti
+  python tools/create_infos.py nuscenes --data_path data/nuscenes --version v1.0-mini
+  python tools/create_infos.py waymo    --data_path data/waymo/raw --save_path data/waymo
+"""
+
+import argparse
+import pickle
+from pathlib import Path
+
+import _init_path  # noqa: F401
+
+from toda_tpu.config import EDict
+from toda_tpu.utils import common_utils
+
+
+def _kitti(args, logger):
+    from toda_tpu.datasets.dataset import DatasetTemplate
+    from toda_tpu.datasets.kitti.kitti_dataset import KittiDataset
+
+    save = Path(args.save_path or args.data_path)
+    for split, fname in (("train", "kitti_infos_train.pkl"),
+                         ("val", "kitti_infos_val.pkl")):
+        cfg = EDict({
+            "DATASET": "KittiDataset", "DATA_PATH": args.data_path,
+            "DATA_SPLIT": {"train": split, "test": split},
+            "INFO_PATH": {"train": [], "test": []},
+            "POINT_CLOUD_RANGE": [0, -40.0, -3.0, 70.4, 40.0, 1.0],
+            "POINT_FEATURE_ENCODING": {
+                "encoding_type": "absolute_coordinates_encoding",
+                "used_feature_list": ["x", "y", "z", "intensity"],
+                "src_feature_list": ["x", "y", "z", "intensity"],
+            },
+            "DATA_PROCESSOR": [], "DATA_AUGMENTOR": {"AUG_CONFIG_LIST": []},
+        })
+        ds = KittiDataset.__new__(KittiDataset)
+        DatasetTemplate.__init__(ds, dataset_cfg=cfg, class_names=None,
+                                 training=split == "train", logger=logger)
+        ds.infos = []
+        try:
+            infos = ds.get_infos()
+        except FileNotFoundError as e:
+            logger.warning("split %s skipped (%s)", split, e)
+            continue
+        with open(save / fname, "wb") as f:
+            pickle.dump(infos, f)
+        logger.info("%s: %d infos -> %s", split, len(infos), save / fname)
+        if split == "train" and args.with_gt_db:
+            ds.infos = infos
+            db = ds.create_groundtruth_database(
+                used_classes=args.classes.split(","),
+                out_path=save / "kitti_dbinfos_train.pkl")
+            logger.info("gt database: %d classes", len(db))
+
+
+def _nuscenes(args, logger):
+    from toda_tpu.datasets.nuscenes.nuscenes_utils import create_nuscenes_infos
+
+    train, val = create_nuscenes_infos(
+        args.version, args.data_path, save_path=args.save_path or args.data_path,
+        max_sweeps=args.max_sweeps, logger=logger)
+    logger.info("train %d / val %d infos", len(train), len(val))
+
+
+def _waymo(args, logger):
+    from toda_tpu.datasets.waymo.waymo_dataset import create_waymo_infos
+
+    save = Path(args.save_path or args.data_path)
+    infos = create_waymo_infos(
+        args.data_path, save, sampled_interval=args.sampled_interval,
+        logger=logger)
+    with open(save / "waymo_infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    logger.info("%d infos -> %s", len(infos), save / "waymo_infos_train.pkl")
+
+
+def _lyft(args, logger):
+    from toda_tpu.datasets.lyft.lyft_dataset import create_lyft_info
+
+    create_lyft_info(args.version, args.data_path,
+                     args.save_path or args.data_path, "train",
+                     max_sweeps=args.max_sweeps)
+
+
+def _pandaset(args, logger):
+    from toda_tpu.datasets.pandaset.pandaset_dataset import (
+        create_pandaset_infos,
+    )
+
+    create_pandaset_infos(EDict({}), None, args.data_path,
+                          args.save_path or args.data_path)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("dataset",
+                        choices=["kitti", "nuscenes", "waymo", "lyft", "pandaset"])
+    parser.add_argument("--data_path", required=True,
+                        help="raw dataset root (waymo: dir of .tfrecord files)")
+    parser.add_argument("--save_path", default=None,
+                        help="output dir for info pkls (default: data_path)")
+    parser.add_argument("--version", default="v1.0-mini",
+                        help="nuscenes/lyft table version")
+    parser.add_argument("--max_sweeps", type=int, default=10)
+    parser.add_argument("--sampled_interval", type=int, default=1,
+                        help="waymo: keep every Nth frame")
+    parser.add_argument("--with_gt_db", action="store_true",
+                        help="kitti: also build the GT copy-paste database")
+    parser.add_argument("--classes", default="Car,Pedestrian,Cyclist",
+                        help="classes for the GT database (comma-separated)")
+    args = parser.parse_args()
+    logger = common_utils.create_logger()
+    {"kitti": _kitti, "nuscenes": _nuscenes, "waymo": _waymo,
+     "lyft": _lyft, "pandaset": _pandaset}[args.dataset](args, logger)
+
+
+if __name__ == "__main__":
+    main()

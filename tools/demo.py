@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--frame", type=int, default=0)
     parser.add_argument("--out", type=str, default="demo_bev.png")
+    parser.add_argument("--view", type=str, default="bev", choices=["bev", "3d", "both"],
+                        help="bev: rasterized top-down PNG; 3d: matplotlib 3D scene "
+                             "(the headless analog of the reference's open3d viewer)")
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
     logger = common_utils.create_logger()
@@ -62,12 +65,21 @@ def main():
     pts = batch["points"][0][batch["points_mask"][0]]
     gt = batch["gt_boxes"][0]
     gt = gt[gt[:, 7] > 0][:, :7] if gt.shape[1] > 7 else gt
-    img = nuscene_vis(
-        pts, boxes=gt, pred_boxes=dets["pred_boxes"][m][:, :7],
-        pc_range=tuple(dataset.point_cloud_range),
-    )
-    save_png(args.out, img)
-    logger.info("wrote %s", args.out)
+    if args.view in ("bev", "both"):
+        img = nuscene_vis(
+            pts, boxes=gt, pred_boxes=dets["pred_boxes"][m][:, :7],
+            pc_range=tuple(dataset.point_cloud_range),
+        )
+        save_png(args.out, img)
+        logger.info("wrote %s", args.out)
+    if args.view in ("3d", "both"):
+        from toda_tpu.utils.simplevis import scene_vis_3d
+
+        out3d = (args.out if args.view == "3d"
+                 else args.out.rsplit(".", 1)[0] + "_3d.png")
+        scene_vis_3d(pts, boxes=gt, pred_boxes=dets["pred_boxes"][m][:, :7],
+                     out_path=out3d)
+        logger.info("wrote %s", out3d)
 
 
 if __name__ == "__main__":
