@@ -1,0 +1,101 @@
+"""tools/create_infos.py — the unified info-generation CLI.
+
+Pins the KITTI path end-to-end as a subprocess: raw file tree in, info pkls
++ GT database out, and the generated infos load back through KittiDataset.
+(The nuScenes/Waymo generation functions have their own fixture tests in
+test_nuscenes_adapter.py / test_waymo_tfrecord.py; this covers the CLI
+plumbing and the devkit-gated errors.)
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+CALIB_TXT = "\n".join([
+    "P0: 7e2 0 6e2 0 0 7e2 1.8e2 0 0 0 1 0",
+    "P1: 7e2 0 6e2 0 0 7e2 1.8e2 0 0 0 1 0",
+    "P2: 721.54 0 609.56 44.86 0 721.54 172.85 0.22 0 0 1 0.0027",
+    "P3: 721.54 0 609.56 -339.52 0 721.54 172.85 2.2 0 0 1 0.0027",
+    "R0_rect: 0.9999 0.0098 -0.0074 -0.0098 0.9999 -0.0043 0.0074 0.0043 0.9999",
+    "Tr_velo_to_cam: 7.5e-3 -0.9999 -6e-4 -4e-3 1.4e-2 7e-4 -0.9998 -7.6e-2 "
+    "0.9998 7.5e-3 1.4e-2 -0.27",
+])
+LABEL_TXT = (
+    "Car 0.00 0 -1.58 600.0 160.0 700.0 220.0 1.55 1.62 3.9 1.0 1.6 15.0 -1.55\n"
+)
+
+
+@pytest.fixture(scope="module")
+def raw_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_cli")
+    for sub in ("velodyne", "calib", "label_2"):
+        (root / sub).mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        idx = f"{i:06d}"
+        pts = rng.uniform(-30, 30, (2000, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 1, 2000)
+        cluster = rng.uniform(-0.5, 0.5, (64, 4)).astype(np.float32)
+        cluster[:, 0] += 15.0
+        cluster[:, 1] -= 1.0
+        np.concatenate([pts, cluster]).tofile(root / "velodyne" / f"{idx}.bin")
+        (root / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
+        (root / "label_2" / f"{idx}.txt").write_text(LABEL_TXT)
+    return root
+
+
+def test_kitti_cli_end_to_end(raw_tree):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "create_infos.py"), "kitti",
+         "--data_path", str(raw_tree), "--with_gt_db"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for fname in ("kitti_infos_train.pkl", "kitti_infos_val.pkl",
+                  "kitti_dbinfos_train.pkl"):
+        assert (raw_tree / fname).exists(), fname
+    with open(raw_tree / "kitti_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 2
+    assert infos[0]["annos"]["name"][0] == "Car"
+    with open(raw_tree / "kitti_dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert len(db["Car"]) == 2 and db["Car"][0]["num_points_in_gt"] > 20
+
+    # the generated infos load back through the dataset
+    from toda_tpu.config import EDict
+    from toda_tpu.datasets import build_dataloader
+    import yaml
+
+    with open(REPO / "tools/cfgs/dataset_configs/synthetic_dataset.yaml") as f:
+        cfg = EDict(yaml.safe_load(f))
+    cfg.DATASET = "KittiDataset"
+    cfg.DATA_PATH = str(raw_tree)
+    cfg.INFO_PATH = {"train": ["kitti_infos_train.pkl"],
+                     "test": ["kitti_infos_val.pkl"]}
+    cfg.POINT_CLOUD_RANGE = [-40.0, -40.0, -3.0, 40.0, 40.0, 1.0]
+    cfg.DATA_PROCESSOR[2].NUM_POINTS = {"train": 1024, "test": 1024}
+    ds, loader, _ = build_dataloader(cfg, ["Car"], batch_size=1, training=True)
+    assert len(ds) == 2
+    batch = next(iter(loader))
+    assert batch["points"].shape == (1, 1024, 4)
+
+
+def test_devkit_gated_paths_raise(raw_tree):
+    # lyft requires its devkit; the CLI surfaces the gating ImportError
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "create_infos.py"), "lyft",
+         "--data_path", str(raw_tree)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode != 0
+    assert "lyft_dataset_sdk" in out.stderr
