@@ -191,3 +191,39 @@ def test_lasermix_corner_del():
     center_out = lasermix(src, tgt, mode="spherical", num_regions=8,
                           pitch_range=(-0.5, 0.5), inc_method="center", rng=FixedRng())
     assert len(out["points"]) <= len(center_out["points"])
+
+
+def test_cutpolarmix_coin_flip(monkeypatch):
+    """MIX_TYPE cutpolarmix: each mixed sample is cutmix OR polarmix with a
+    fair coin (reference two_dataset.py:240-254)."""
+    from tests.test_toda_pipeline import CLASS_NAMES, tiny_dataset_cfg
+    from toda_tpu.datasets import build_dataloader, mix_dataset
+
+    mix_cfg = tiny_dataset_cfg(seed=0)
+    mix_cfg.DATASET = "CutMixDataset"
+    mix_cfg.MIX_TYPE = "cutpolarmix"
+    mix_cfg.CUTMIX_PROB = 1.0
+    mix_cfg.SOURCE_CFG = tiny_dataset_cfg(seed=0)
+    mix_cfg.TARGET_CFG = tiny_dataset_cfg(seed=100)
+
+    calls = {"cutmix": 0, "polarmix": 0}
+    orig = dict(mix_dataset.MIXERS)
+
+    def counted(name):
+        def fn(s, t, **kw):
+            calls[name] += 1
+            return orig[name](s, t, **kw)
+        return fn
+
+    monkeypatch.setitem(mix_dataset.MIXERS, "cutmix", counted("cutmix"))
+    monkeypatch.setitem(mix_dataset.MIXERS, "polarmix", counted("polarmix"))
+
+    np.random.seed(0)
+    dataset, _, _ = build_dataloader(mix_cfg, CLASS_NAMES, batch_size=2,
+                                     training=True)
+    dataset.train_percent = 0.5
+    for i in range(24):
+        out = dataset[i % len(dataset)]
+        assert out["points"].shape[1] == 4
+    assert calls["cutmix"] > 0 and calls["polarmix"] > 0
+    assert calls["cutmix"] + calls["polarmix"] == 24

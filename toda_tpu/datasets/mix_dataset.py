@@ -86,17 +86,22 @@ class CutMixDataset(DatasetTemplate):
             tgt = self._raw(self.target, np.random.randint(len(self.target)))
             src = self._augment_domain(self.source, src)
             tgt = self._augment_domain(self.target, tgt)
+            mix_type = self.mix_type
+            if mix_type == "cutpolarmix":
+                # reference two_dataset.py:240-254: a fair coin picks cutmix
+                # or polarmix per mixed sample
+                mix_type = "cutmix" if np.random.rand() < 0.5 else "polarmix"
             kw = {}
-            if self.mix_type == "polarmix":
+            if mix_type == "polarmix":
                 kw = dict(
                     train_percent=self.train_percent,
                     width_method=self.polarmix_width,
                     inc_method=self.inc_method,
                     use_pitch=self.use_pitch,
                 )
-            elif self.mix_type == "lasermix":
+            elif mix_type == "lasermix":
                 kw = dict(mode=self.lasermix_mode, inc_method=self.inc_method)
-            mixed = MIXERS[self.mix_type](src, tgt, **kw)
+            mixed = MIXERS[mix_type](src, tgt, **kw)
             data_dict = {**mixed, "frame_id": index}
             # domain augmentors already ran; skip the template augmentor
             aug, self.data_augmentor = self.data_augmentor, None
