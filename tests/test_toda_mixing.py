@@ -227,3 +227,68 @@ def test_cutpolarmix_coin_flip(monkeypatch):
         assert out["points"].shape[1] == 4
     assert calls["cutmix"] > 0 and calls["polarmix"] > 0
     assert calls["cutmix"] + calls["polarmix"] == 24
+
+
+def test_polarmix_multi_sector_and_rc_num(scenes):
+    """Reference driver semantics (inter_domain_point_polarmix.py:247-300):
+    one non-overlapping sector per POLARMIX_UPDATE_METHOD entry; RC_NUM
+    rotate-paste copies with the FIRST copy unrotated."""
+    from toda_tpu.datasets.processor.inter_domain_mix import (
+        _place_sectors,
+        polarmix,
+    )
+
+    src, tgt = scenes
+    rng = np.random.RandomState(3)
+    sectors = _place_sectors(["FIX", "FIX", "FIX"], 0.0, (np.pi / 6, np.pi), rng)
+    assert len(sectors) == 3
+    # pairwise non-overlap in mod-2pi arithmetic
+    for i in range(3):
+        for j in range(i + 1, 3):
+            s0, w0 = sectors[i]
+            s1, w1 = sectors[j]
+            rel = (s1 - s0) % (2 * np.pi)
+            assert rel >= w0 and rel <= 2 * np.pi - w1
+
+    # rot_copy_num=0 -> no instance paste at all
+    out0 = polarmix(src, tgt, width_method="FIX", rot_copy_num=0,
+                    rng=np.random.RandomState(5))
+    # rot_copy_num=3 -> strictly more boxes than 0 copies (dedup permitting)
+    out3 = polarmix(src, tgt, width_method="FIX", rot_copy_num=3,
+                    rng=np.random.RandomState(5))
+    assert len(out3["gt_boxes"]) >= len(out0["gt_boxes"])
+    # multi-sector swap accepts a list width_method
+    outm = polarmix(src, tgt, width_method=["FIX", "FIX"], rot_copy_num=0,
+                    rng=np.random.RandomState(5))
+    assert outm["points"].shape[1] == 4 and len(outm["gt_names"]) == len(
+        outm["gt_boxes"])
+
+
+def test_polarmix_distance_limited_swap(scenes):
+    """POLARMIX_DIS='RAND': swap limited to one side of a distance threshold
+    (reference swap_with_range :97-160). With a threshold fraction > 0.4 the
+    NEAR side swaps: all adopted target points lie within dis_th."""
+    from toda_tpu.datasets.processor.inter_domain_mix import polarmix
+
+    src, tgt = scenes
+
+    class FixedRng:
+        def __init__(self):
+            self.u = 0
+
+        def uniform(self, a, b):
+            return a  # sector start = -pi, width = lo
+
+        def random(self):
+            return 0.5  # dis_th = 0.5 * range_max -> near side
+
+    out = polarmix(src, tgt, width_method="FIX", degree=2 * np.pi,
+                   polar_dis="RAND", range_max=30.0, rot_copy_num=0,
+                   rng=FixedRng())
+    # full-circle sector + near-side swap: every surviving point beyond
+    # dis_th must be a source point, and target points inside dis_th exist
+    rho = np.linalg.norm(out["points"][:, :2], axis=1)
+    src_rho = np.linalg.norm(src["points"][:, :2], axis=1)
+    far = out["points"][rho >= 15.0]
+    src_far = src["points"][src_rho >= 15.0]
+    assert len(far) == len(src_far)

@@ -53,12 +53,20 @@ class CutMixDataset(DatasetTemplate):
         self.mix_type = dataset_cfg.get("MIX_TYPE", "cutmix")
         self.mix_prob = float(dataset_cfg.get("CUTMIX_PROB", 0.5))
         self.class_mapping = dataset_cfg.get("CLASS_MAPPING", None)  # e.g. all -> 'car'
-        self.polarmix_width = dataset_cfg.get("POLARMIX_WIDTH_METHOD", "FIX")
         # reference MIX_INC_METHOD / POLARMIX_* knobs
-        # (inter_domain_point_polarmix.py:44-94, inter_domain_point_lasermix.py:100-125)
+        # (inter_domain_point_polarmix.py:44-94,247-300, two_dataset.py:70-105)
+        self.polarmix_width = dataset_cfg.get(
+            "POLARMIX_UPDATE_METHOD",
+            dataset_cfg.get("POLARMIX_WIDTH_METHOD", "FIX"))
+        self.polarmix_degree = dataset_cfg.get(
+            "POLARMIX_DEGREE", [np.pi / 6, np.pi])
+        self.polarmix_rc_num = int(dataset_cfg.get("POLARMIX_RC_NUM", 1))
+        self.polarmix_dis = dataset_cfg.get("POLARMIX_DIS", "FULL")
         self.inc_method = dataset_cfg.get("MIX_INC_METHOD", "center")
         self.use_pitch = bool(dataset_cfg.get("POLARMIX_USE_PITCH", False))
         self.lasermix_mode = dataset_cfg.get("LASERMIX_MODE", "spherical")
+        pc_range = dataset_cfg.get("POINT_CLOUD_RANGE", None)
+        self.range_max = float(pc_range[3]) if pc_range is not None else 60.0
 
     def __len__(self):
         return len(self.source) + len(self.target)
@@ -96,6 +104,10 @@ class CutMixDataset(DatasetTemplate):
                 kw = dict(
                     train_percent=self.train_percent,
                     width_method=self.polarmix_width,
+                    degree=self.polarmix_degree,
+                    rot_copy_num=self.polarmix_rc_num,
+                    polar_dis=self.polarmix_dis,
+                    range_max=self.range_max,
                     inc_method=self.inc_method,
                     use_pitch=self.use_pitch,
                 )

@@ -79,31 +79,55 @@ def cutmix(src, tgt, min_points=1024, scale_range=(0.5, 1.0), max_tries=10, rng=
     return dict(points=sp, gt_boxes=sb, gt_names=sn)
 
 
-def _sector_width_schedule(method, train_percent, base=np.pi / 3, rng=None):
-    """Curriculum sector width (reference FIX|RAND|ASC|ASC_SIG|DESC over
-    train_percent, inter_domain_point_polarmix.py:44-90)."""
+def _sector_width_schedule(method, train_percent, degree=(np.pi / 6, np.pi),
+                           rng=None):
+    """Curriculum sector width over a (lo, hi) degree range (reference
+    FIX|RAND|ASC|ASC_SIG|DESC, inter_domain_point_polarmix.py:19-21,258-268:
+    FIX=lo, RAND=U(lo,hi), ASC=lo+(hi-lo)t, ASC_SIG with sig_polar alpha 6,
+    DESC=hi-(hi-lo)t)."""
     rng = rng or np.random
     t = float(np.clip(train_percent, 0.0, 1.0))
-    if method == "FIX":
-        return base
+    lo, hi = (degree, degree) if np.isscalar(degree) else (
+        (degree[0], degree[0]) if len(degree) == 1 else (degree[0], degree[1]))
     if method == "RAND":
-        return rng.uniform(np.pi / 6, np.pi)
+        return rng.uniform(lo, hi)
     if method == "ASC":
-        return np.pi / 6 + t * (np.pi - np.pi / 6)
+        return lo + t * (hi - lo)
     if method == "ASC_SIG":
-        sig = 1.0 / (1.0 + np.exp(-10 * (t - 0.5)))
-        return np.pi / 6 + sig * (np.pi - np.pi / 6)
+        sig = 1.0 / (1.0 + np.exp(-6 * (2 * t - 1)))
+        return lo + sig * (hi - lo)
     if method == "DESC":
-        return np.pi - t * (np.pi - np.pi / 6)
-    return base
+        return hi - t * (hi - lo)
+    return lo  # FIX / unknown
 
 
-def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=True,
-             paste_rotations=(np.pi / 2,), inc_method="center", use_pitch=False,
-             rng=None):
-    """Azimuth-sector swap + instance rotate-paste.
+def _place_sectors(methods, train_percent, degree, rng):
+    """Non-overlapping (start, width) sectors, one per schedule entry
+    (reference inter_domain_point_polarmix.py:257-285: 100 placement
+    retries, skip on persistent overlap). Angles are mod-2pi intervals."""
+    sectors = []
+    for m in methods:
+        width = _sector_width_schedule(m, train_percent, degree, rng)
+        for _ in range(100):
+            start = rng.uniform(-np.pi, np.pi)
+            ok = True
+            for s0, w0 in sectors:
+                rel = (start - s0) % (2 * np.pi)
+                if rel < w0 or rel > 2 * np.pi - width:
+                    ok = False
+                    break
+            if ok:
+                sectors.append((start, width))
+                break
+    return sectors
 
-    inc_method (reference inter_domain_point_polarmix.swap :44-70):
+
+def _sector_swap(sp, sb, sn, tp, tb, tn, start, width, inc_method, use_pitch,
+                 dist_mask=None):
+    """One azimuth-sector swap: sector points/boxes of the accumulated source
+    scene are replaced by the target's (reference swap :44-94).
+
+    inc_method:
       center     — a box belongs to the sector iff its CENTER yaw is inside;
       corner     — source boxes are removed if ANY corner is inside, target
                    boxes are adopted only if ALL corners are inside;
@@ -112,17 +136,17 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
     use_pitch (reference :80-94): additionally transfer target points OUTSIDE
     the sector whose pitch falls outside the source scan's pitch band — moves
     the target sensor's extra beams into the mixed scene.
+    dist_mask: optional fn(xy_array) -> bool mask composed with sector
+    membership (the POLARMIX_DIS='RAND' distance threshold, reference
+    swap_with_range :97-160 — which uses center inclusion).
     """
-    rng = rng or np.random
-    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
-    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
-
-    width = _sector_width_schedule(width_method, train_percent, rng=rng)
-    start = rng.uniform(-np.pi, np.pi)
 
     def in_sector(ang):
         rel = (ang - start) % (2 * np.pi)
         return rel <= width
+
+    def member(arr2d, ang_mask):
+        return ang_mask & dist_mask(arr2d) if dist_mask is not None else ang_mask
 
     def corners_in_sector(boxes):
         """(M, 8) per-corner sector membership on the BEV corners."""
@@ -131,9 +155,11 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
         corners = box_utils.boxes_to_corners_3d(boxes[:, :7])[:, :, :2]
         return in_sector(np.arctan2(corners[..., 1], corners[..., 0]))
 
-    if inc_method == "center":
-        sb_out = in_sector(np.arctan2(sb[:, 1], sb[:, 0])) if len(sb) else np.zeros(0, bool)
-        tb_in = in_sector(np.arctan2(tb[:, 1], tb[:, 0])) if len(tb) else np.zeros(0, bool)
+    if inc_method == "center" or dist_mask is not None:
+        sb_out = member(sb[:, :2], in_sector(np.arctan2(sb[:, 1], sb[:, 0]))) \
+            if len(sb) else np.zeros(0, bool)
+        tb_in = member(tb[:, :2], in_sector(np.arctan2(tb[:, 1], tb[:, 0]))) \
+            if len(tb) else np.zeros(0, bool)
     elif inc_method in ("corner", "corner_del"):
         s_c = corners_in_sector(sb)
         t_c = corners_in_sector(tb)
@@ -149,8 +175,8 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
     else:
         raise NotImplementedError(inc_method)
 
-    s_in = in_sector(_angles(sp))
-    t_take = in_sector(_angles(tp))
+    s_in = member(sp[:, :2], in_sector(_angles(sp)))
+    t_take = member(tp[:, :2], in_sector(_angles(tp)))
     if use_pitch and len(sp):
         s_rho = np.linalg.norm(sp[:, :2], axis=1)
         t_rho = np.linalg.norm(tp[:, :2], axis=1)
@@ -167,10 +193,53 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
     points = np.concatenate([sp[~s_in], tp[t_take]])
     boxes = np.concatenate([sb[~sb_out], tb[tb_in]])
     names = np.concatenate([sn[~sb_out], tn[tb_in]])
+    return points, boxes, names
 
-    if instance_paste and len(tb):
+
+def polarmix(src, tgt, train_percent=0.0, width_method="FIX",
+             degree=(np.pi / 6, np.pi), rot_copy_num=1, polar_dis="FULL",
+             range_max=60.0, instance_paste=True, inc_method="center",
+             use_pitch=False, rng=None):
+    """Azimuth-sector swap(s) + instance rotate-paste (reference
+    inter_domain_point_polarmix.py:193-300).
+
+    width_method: one schedule name or a list — ONE non-overlapping sector is
+    placed per entry (reference POLARMIX_UPDATE_METHOD, e.g. [FIX, FIX, FIX]).
+    degree: (lo, hi) sector-width range fed to the schedules (POLARMIX_DEGREE).
+    rot_copy_num: 0-3 instance rotate-paste copies at Omega = [0, U(0, 2pi/3),
+    2pi/3 + U(0, 2pi/3)] (POLARMIX_RC_NUM; reference :288-289 — the first
+    copy is UNROTATED, deduplicated by BEV IoU against existing boxes).
+    polar_dis: 'FULL' swaps the whole sector; 'RAND' draws a distance
+    threshold dis_th = U(0, range_max) and swaps only the near side when
+    dis_th/range_max > 0.4, else the far side (reference swap_with_range).
+    """
+    rng = rng or np.random
+    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
+    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+
+    methods = [width_method] if isinstance(width_method, str) else list(width_method)
+    sectors = _place_sectors(methods, train_percent, degree, rng)
+
+    dist_mask = None
+    if polar_dis == "RAND":
+        dis_th = rng.random() * range_max
+
+        def dist_mask(xy, _th=dis_th):  # noqa: F811
+            rho = np.linalg.norm(np.asarray(xy)[:, :2], axis=1)
+            return rho < _th if _th / range_max > 0.4 else rho > _th
+
+    points, boxes, names = sp, sb, sn
+    for start, width in sectors:
+        points, boxes, names = _sector_swap(
+            points, boxes, names, tp, tb, tn, start, width, inc_method,
+            use_pitch, dist_mask=dist_mask,
+        )
+
+    if instance_paste and rot_copy_num > 0 and len(tb):
+        omegas = [0.0, rng.uniform(0, 2 * np.pi / 3),
+                  2 * np.pi / 3 + rng.uniform(0, 2 * np.pi / 3)][:rot_copy_num]
         member = box_utils.points_in_boxes_numpy(tp, tb)
-        for rot in paste_rotations:
+        for rot in omegas:
             cos, sin = np.cos(rot), np.sin(rot)
             rot_mat = np.array([[cos, -sin], [sin, cos]])
             new_boxes, new_names, new_points = [], [], []
@@ -190,7 +259,10 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX", instance_paste=Tru
                 new_names.append(tn[j])
                 new_points.append(obj)
             if new_boxes:
-                boxes = np.concatenate([boxes] + new_boxes)
+                # pasted objects clear their landing spot (reference :239)
+                nb = np.concatenate(new_boxes)
+                points = box_utils.remove_points_in_boxes3d(points, nb[:, :7])
+                boxes = np.concatenate([boxes, nb])
                 names = np.concatenate([names, np.asarray(new_names)])
                 points = np.concatenate([points] + new_points)
     return {"points": points, "gt_boxes": boxes, "gt_names": names}
