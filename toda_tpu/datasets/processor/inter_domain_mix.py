@@ -269,26 +269,62 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX",
 
 
 def lasermix(src, tgt, mode="spherical", num_regions=6, pitch_range=(-0.4, 0.2),
-             range_max=60.0, inc_method="center", rng=None):
+             range_max=60.0, inc_method="center", rng=None,
+             num_areas=None, num_angles=None, pitch_angles_deg=None,
+             sensor_height=1.8):
     """Interleaved region swap: alternate regions come from alternate domains.
 
-    inc_method (reference inter_domain_point_lasermix.py:100-125 corner_del
-    branch): 'center' keeps a box iff its center region has the domain's
-    parity; 'corner_del' keeps it only if ALL its corners agree, and deletes
-    the points of partially-spanning boxes so no half-object survives.
+    Reference knob forms (inter_domain_point_lasermix.py:1-195, stage1
+    configs): LASERMIX_NUM_AREAS (`num_areas`, int or list — a list is
+    sampled uniformly per call), LASERMIX_NUM_ANGLES (`num_angles` — when
+    set, the cylindrical checkerboard over num_angles azimuth sectors with a
+    random phase x num_areas radial rings, cell domain = (sector+ring)
+    parity), LASERMIX_PITCH_ANGLE (`pitch_angles_deg`, DEGREES — spherical
+    pitch bands measured about a sensor `sensor_height` above the origin,
+    reference :24 `arctan2(z - 1.8, rho)`). Without these, the legacy
+    (mode, num_regions, pitch_range-radians) form applies.
+
+    inc_method (reference :100-125 corner_del branch): 'center' keeps a box
+    iff its center region has the domain's parity; 'corner_del' keeps it
+    only if ALL its corners agree, and deletes the points of
+    partially-spanning boxes so no half-object survives.
     """
     rng = rng or np.random
     sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
     tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
     offset = rng.randint(2)
 
-    if mode == "spherical":
+    na = num_areas if num_areas is not None else num_regions
+    if isinstance(na, (list, tuple, np.ndarray)):
+        na = int(rng.choice(list(na)))
+    na = int(na)
+
+    if num_angles is not None:  # reference cylindrical checkerboard
+        phase = rng.uniform(-np.pi, np.pi)
+        dis_edges = np.linspace(0.0, range_max, na + 1)
+
+        def region_of(pts):
+            a = (_angles(pts) + phase + np.pi) % (2 * np.pi)
+            yi = np.floor(a / (2 * np.pi) * num_angles).astype(int)
+            r = np.clip(np.linalg.norm(pts[:, :2], axis=1), 1e-5, range_max - 1e-5)
+            ri = np.digitize(r, dis_edges) - 1
+            return yi + ri
+    elif pitch_angles_deg is not None:  # reference spherical (degrees)
+        lo, hi = np.radians(pitch_angles_deg[0]), np.radians(pitch_angles_deg[1])
+        edges = np.linspace(lo, hi, na + 1)
+
+        def region_of(pts):
+            rho = np.linalg.norm(pts[:, :2], axis=1)
+            pr = np.arctan2(pts[:, 2] - sensor_height, rho)
+            pr = np.clip(pr, lo + 1e-6, hi - 1e-6)
+            return np.digitize(pr, edges) - 1
+    elif mode == "spherical":
         edges = np.linspace(pitch_range[0], pitch_range[1], num_regions + 1)
 
         def region_of(pts):
             pr = np.clip(_pitch(pts), pitch_range[0], pitch_range[1] - 1e-6)
             return np.digitize(pr, edges) - 1
-    else:  # cylindrical: yaw x range grid
+    else:  # legacy cylindrical: yaw x range grid
         def region_of(pts):
             a = (_angles(pts) + np.pi) / (2 * np.pi)
             r = np.clip(np.linalg.norm(pts[:, :2], axis=1) / range_max, 0, 1 - 1e-6)
