@@ -51,7 +51,10 @@ class CutMixDataset(DatasetTemplate):
             dataset_cfg.TARGET_CFG, class_names, training=training, logger=logger
         )
         self.mix_type = dataset_cfg.get("MIX_TYPE", "cutmix")
-        self.mix_prob = float(dataset_cfg.get("CUTMIX_PROB", 0.5))
+        # CUTMIX_PROB / POLARMIX_PROB are the same knob in the reference —
+        # each pair-dataset class reads its own name (waymo_nus_*_dataset.py:148,161)
+        self.mix_prob = float(dataset_cfg.get(
+            "CUTMIX_PROB", dataset_cfg.get("POLARMIX_PROB", 0.5)))
         self.class_mapping = dataset_cfg.get("CLASS_MAPPING", None)  # e.g. all -> 'car'
         # reference MIX_INC_METHOD / POLARMIX_* knobs
         # (inter_domain_point_polarmix.py:44-94,247-300, two_dataset.py:70-105)
