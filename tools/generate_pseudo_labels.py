@@ -29,7 +29,8 @@ def main():
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--extra_tag", type=str, default="default")
-    parser.add_argument("--score_thresh", type=float, default=0.2)
+    parser.add_argument("--score_thresh", "--pseudo_thresh", dest="score_thresh",
+                        type=float, default=0.2)
     parser.add_argument("--perturb", action="store_true")
     parser.add_argument("--eps", type=float, default=1.0)
     parser.add_argument("--output", type=str, default=None)
