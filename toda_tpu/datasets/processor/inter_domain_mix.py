@@ -67,8 +67,18 @@ def cutmix(src, tgt, min_points=1024, scale_range=(0.5, 1.0), max_tries=10, rng=
         if t_in.sum() < min_points:
             continue
         s_in = in_window(sp)
-        sb_in = in_window(sb) if len(sb) else np.zeros(0, bool)
-        tb_in = in_window(tb) if len(tb) else np.zeros(0, bool)
+
+        def box_in_window(boxes):
+            """A box belongs to the window if ANY BEV corner is inside
+            (reference cutmix box rule: mask_boxes_outside_range_numpy with
+            min_num_corners=1, inter_domain_point_cutmix.py:66-69)."""
+            if not len(boxes):
+                return np.zeros(0, bool)
+            corners = box_utils.corners_bev(np.asarray(boxes))  # (M, 4, 2)
+            return in_window(corners.reshape(-1, 2)).reshape(len(boxes), 4).any(axis=1)
+
+        sb_in = box_in_window(sb)
+        tb_in = box_in_window(tb)
 
         mixed_points = np.concatenate([sp[~s_in], tp[t_in]])
         mixed_boxes = np.concatenate([sb[~sb_in], tb[tb_in]]) if len(sb) or len(tb) else sb
