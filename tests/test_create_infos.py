@@ -99,3 +99,72 @@ def test_devkit_gated_paths_raise(raw_tree):
     )
     assert out.returncode != 0
     assert "lyft_dataset_sdk" in out.stderr
+
+
+def _write_fake_nuscenes(root):
+    """Minimal raw nuScenes JSON tables + lidar bins (mirrors the geometry of
+    tests/test_nuscenes_adapter.py::test_devkit_free_info_generation: ego at
+    (100,50) yaw +90deg, sensor +1m along ego-x, one car 10 m ahead)."""
+    import json
+
+    version = "v1.0-mini"
+    base = root / version
+    base.mkdir(parents=True)
+    q_yaw90 = [float(np.cos(np.pi / 4)), 0, 0, float(np.sin(np.pi / 4))]
+    q_id = [1.0, 0, 0, 0]
+
+    def write(name, rows):
+        (base / f"{name}.json").write_text(json.dumps(rows))
+
+    write("scene", [{"token": "sc0", "name": "scene-0061"}])
+    write("sensor", [{"token": "se0", "channel": "LIDAR_TOP",
+                      "modality": "lidar"}])
+    write("calibrated_sensor", [{"token": "cs0", "sensor_token": "se0",
+                                 "translation": [1.0, 0.0, 2.0],
+                                 "rotation": q_id}])
+    write("ego_pose", [{"token": "ep0", "translation": [100.0, 50.0, 0.0],
+                        "rotation": q_yaw90}])
+    write("sample", [{"token": "s0", "scene_token": "sc0",
+                      "timestamp": 1_000_000}])
+    write("sample_data", [
+        {"token": "sd0", "sample_token": "s0", "is_key_frame": True,
+         "calibrated_sensor_token": "cs0", "ego_pose_token": "ep0",
+         "timestamp": 1_000_000, "filename": "lidar0.bin", "prev": "",
+         "next": ""}])
+    write("category", [{"token": "cat_car", "name": "vehicle.car"}])
+    write("instance", [{"token": "inst0", "category_token": "cat_car"}])
+    write("sample_annotation", [
+        {"token": "a0", "sample_token": "s0", "instance_token": "inst0",
+         "category_token": "cat_car", "translation": [100.0, 60.0, 1.0],
+         "rotation": q_yaw90, "size": [2.0, 4.5, 1.7],
+         "num_lidar_pts": 42, "prev": "", "next": ""}])
+    # lidar bin (x, y, z, intensity, ring) — a cluster at the box's sensor
+    # frame location (9, 0, z~-1) plus background
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-20, 20, (500, 5)).astype(np.float32)
+    cluster = np.zeros((80, 5), np.float32)
+    cluster[:, 0] = 9.0 + rng.uniform(-1.5, 1.5, 80)
+    cluster[:, 1] = rng.uniform(-0.8, 0.8, 80)
+    cluster[:, 2] = rng.uniform(-1.5, 0.0, 80)
+    np.concatenate([pts, cluster]).tofile(root / "lidar0.bin")
+    return root
+
+
+def test_nuscenes_cli_with_gt_db(tmp_path):
+    root = _write_fake_nuscenes(tmp_path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "create_infos.py"), "nuscenes",
+         "--data_path", str(root), "--version", "v1.0-mini",
+         "--max_sweeps", "3", "--with_gt_db", "--classes", "car",
+         "--sub_db_percents", "100"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open(root / "nuscenes_infos_3sweeps_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 1 and infos[0]["gt_names"][0] == "car"
+    with open(root / "nuscenes_dbinfos_3sweeps.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert len(db["car"]) == 1 and db["car"][0]["num_points_in_gt"] > 20
+    assert (root / "nuscenes_dbinfos_3sweeps_100pct.pkl").exists()

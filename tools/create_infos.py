@@ -62,12 +62,39 @@ def _kitti(args, logger):
 
 
 def _nuscenes(args, logger):
+    from toda_tpu.datasets.dataset import DatasetTemplate
+    from toda_tpu.datasets.nuscenes.nuscenes_dataset import NuScenesDataset
     from toda_tpu.datasets.nuscenes.nuscenes_utils import create_nuscenes_infos
 
+    save = Path(args.save_path or args.data_path)
     train, val = create_nuscenes_infos(
-        args.version, args.data_path, save_path=args.save_path or args.data_path,
+        args.version, args.data_path, save_path=save,
         max_sweeps=args.max_sweeps, logger=logger)
     logger.info("train %d / val %d infos", len(train), len(val))
+    if args.with_gt_db:
+        classes = args.classes.split(",")
+        ds = NuScenesDataset.__new__(NuScenesDataset)
+        DatasetTemplate.__init__(
+            ds, dataset_cfg=EDict({
+                "POINT_CLOUD_RANGE": [-54.0, -54.0, -5.0, 54.0, 54.0, 3.0],
+                "POINT_FEATURE_ENCODING": {
+                    "encoding_type": "absolute_coordinates_encoding",
+                    "used_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+                    "src_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+                },
+                "DATA_PROCESSOR": [], "DATA_AUGMENTOR": {"AUG_CONFIG_LIST": []},
+            }), class_names=classes, training=True,
+            root_path=args.data_path, logger=logger)
+        ds.infos, ds.max_sweeps, ds.shift_coor = train, args.max_sweeps, None
+        tag = f"{args.max_sweeps}sweeps"
+        db = ds.create_groundtruth_database(
+            used_classes=classes, out_path=save / f"nuscenes_dbinfos_{tag}.pkl")
+        logger.info("gt database: %s", {k: len(v) for k, v in db.items()})
+        for pct in args.sub_db_percents:
+            ds.create_sub_groundtruth_database(
+                pct / 100.0,
+                out_path=save / f"nuscenes_dbinfos_{tag}_{pct:g}pct.pkl")
+            logger.info("sub gt database: %g%%", pct)
 
 
 def _waymo(args, logger):
@@ -115,7 +142,12 @@ def main():
     parser.add_argument("--with_gt_db", action="store_true",
                         help="kitti: also build the GT copy-paste database")
     parser.add_argument("--classes", default="Car,Pedestrian,Cyclist",
-                        help="classes for the GT database (comma-separated)")
+                        help="classes for the GT database (comma-separated; "
+                             "nuScenes uses its lowercase names, e.g. "
+                             "car,pedestrian,truck)")
+    parser.add_argument("--sub_db_percents", type=float, nargs="*", default=[],
+                        help="nuscenes: also build SSDA labeled-percentage "
+                             "sub GT databases (e.g. 1 5 10)")
     args = parser.parse_args()
     logger = common_utils.create_logger()
     {"kitti": _kitti, "nuscenes": _nuscenes, "waymo": _waymo,
