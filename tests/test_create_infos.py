@@ -168,3 +168,31 @@ def test_nuscenes_cli_with_gt_db(tmp_path):
         db = pickle.load(f)
     assert len(db["car"]) == 1 and db["car"][0]["num_points_in_gt"] > 20
     assert (root / "nuscenes_dbinfos_3sweeps_100pct.pkl").exists()
+
+
+def test_waymo_cli_with_gt_db(tmp_path):
+    from tests.test_waymo_tfrecord import enc_frame, enc_label, make_range_image
+    from toda_tpu.datasets.waymo import tfrecord_io as tio
+
+    ri = make_range_image()
+    labels = [enc_label(1, [5.0, 1.0, 0.5, 4.5, 2.0, 1.6, 0.3], num_pts=25)]
+    frames = [enc_frame(ri, labels, ts=1000 + i) for i in range(2)]
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    tio.write_tfrecords(raw / "segment-0001.tfrecord", frames)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "create_infos.py"), "waymo",
+         "--data_path", str(raw), "--save_path", str(tmp_path),
+         "--with_gt_db", "--classes", "Vehicle"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open(tmp_path / "waymo_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 2
+    assert (tmp_path / "waymo_processed_data" / "segment-0001" / "0000.npy").exists()
+    with open(tmp_path / "waymo_dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert len(db["Vehicle"]) == 2  # one car per frame

@@ -98,15 +98,40 @@ def _nuscenes(args, logger):
 
 
 def _waymo(args, logger):
-    from toda_tpu.datasets.waymo.waymo_dataset import create_waymo_infos
+    from toda_tpu.datasets.dataset import DatasetTemplate
+    from toda_tpu.datasets.waymo.waymo_dataset import (
+        WaymoDataset,
+        create_waymo_infos,
+    )
 
     save = Path(args.save_path or args.data_path)
+    # npy tree under the layout WaymoDataset loads by default:
+    # <root>/waymo_processed_data/<sequence>/NNNN.npy
     infos = create_waymo_infos(
-        args.data_path, save, sampled_interval=args.sampled_interval,
-        logger=logger)
+        args.data_path, save / "waymo_processed_data",
+        sampled_interval=args.sampled_interval, logger=logger)
     with open(save / "waymo_infos_train.pkl", "wb") as f:
         pickle.dump(infos, f)
     logger.info("%d infos -> %s", len(infos), save / "waymo_infos_train.pkl")
+    if args.with_gt_db:
+        classes = args.classes.split(",")
+        ds = WaymoDataset.__new__(WaymoDataset)
+        DatasetTemplate.__init__(
+            ds, dataset_cfg=EDict({
+                "POINT_CLOUD_RANGE": [-75.2, -75.2, -2.0, 75.2, 75.2, 4.0],
+                "POINT_FEATURE_ENCODING": {
+                    "encoding_type": "absolute_coordinates_encoding",
+                    "used_feature_list": ["x", "y", "z", "intensity", "elongation"],
+                    "src_feature_list": ["x", "y", "z", "intensity", "elongation"],
+                },
+                "DATA_PROCESSOR": [], "DATA_AUGMENTOR": {"AUG_CONFIG_LIST": []},
+            }), class_names=classes, training=True, root_path=save,
+            logger=logger)
+        ds.infos = infos
+        ds.data_path = save / "waymo_processed_data"
+        db = ds.create_groundtruth_database(
+            used_classes=classes, out_path=save / "waymo_dbinfos_train.pkl")
+        logger.info("gt database: %s", {k: len(v) for k, v in db.items()})
 
 
 def _lyft(args, logger):
