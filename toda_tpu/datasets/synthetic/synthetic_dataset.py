@@ -94,6 +94,11 @@ class SyntheticDataset(DatasetTemplate):
         self.scene_kwargs = dict(
             num_objects=tuple(dataset_cfg.get("NUM_OBJECTS", (3, 10))),
             num_background=int(dataset_cfg.get("NUM_BACKGROUND_POINTS", 2000)),
+            # per-object point-count range — the synthetic analog of beam
+            # density, used to fabricate a dense->sparse domain gap
+            # (Waymo 64-beam -> nuScenes 32-beam) for SSDA experiments
+            points_per_object=tuple(
+                dataset_cfg.get("POINTS_PER_OBJECT", (60, 400))),
         )
 
     def __len__(self):
