@@ -27,6 +27,7 @@ def make_scene(
     points_per_object=(60, 400),
     num_background=2000,
     num_features=4,
+    size_scale=1.0,
 ):
     """Returns (points (N, num_features), gt_boxes (M, 7), gt_names (M,))."""
     pc_range = np.asarray(pc_range, dtype=np.float32)
@@ -37,7 +38,7 @@ def make_scene(
         tries += 1
         cls = class_names[rng.randint(len(class_names))]
         base = DEFAULT_SIZES.get(cls, (4.0, 2.0, 1.6))
-        dims = np.asarray(base) * rng.uniform(0.85, 1.15, 3)
+        dims = np.asarray(base) * size_scale * rng.uniform(0.85, 1.15, 3)
         margin = max(base[0], base[1])
         cx = rng.uniform(pc_range[0] + margin, pc_range[3] - margin)
         cy = rng.uniform(pc_range[1] + margin, pc_range[4] - margin)
@@ -99,6 +100,9 @@ class SyntheticDataset(DatasetTemplate):
             # (Waymo 64-beam -> nuScenes 32-beam) for SSDA experiments
             points_per_object=tuple(
                 dataset_cfg.get("POINTS_PER_OBJECT", (60, 400))),
+            # global object-size multiplier — the synthetic analog of the
+            # Waymo->nuScenes size-statistics gap (US vs SG car sizes)
+            size_scale=float(dataset_cfg.get("SIZE_SCALE", 1.0)),
         )
 
     def __len__(self):
