@@ -321,3 +321,29 @@ def test_lasermix_reference_knob_forms(scenes, rng):
     rho = np.linalg.norm(src["points"][:, :2], axis=1)
     pr = np.arctan2(src["points"][:, 2] - 1.8, rho)
     assert (pr < 0).all()  # scene below the sensor -> degrees form sensible
+
+
+def test_cutmix_dataset_mixed_and_plain_batches_collate():
+    """CUTMIX_PROB < 1 produces batches that interleave mixed samples (no
+    template-augmentor replay artifacts) with plain ones — they must collate
+    to one consistent key set (regression: KeyError 'augmentation_params')."""
+    from tests.test_toda_pipeline import CLASS_NAMES, tiny_dataset_cfg
+    from toda_tpu.datasets import build_dataloader
+
+    mix_cfg = tiny_dataset_cfg(seed=0)
+    mix_cfg.DATASET = "CutMixDataset"
+    mix_cfg.MIX_TYPE = "cutmix"
+    mix_cfg.CUTMIX_PROB = 0.5
+    mix_cfg.SOURCE_CFG = tiny_dataset_cfg(seed=0)
+    mix_cfg.TARGET_CFG = tiny_dataset_cfg(seed=100)
+    np.random.seed(0)
+    dataset, loader, _ = build_dataloader(mix_cfg, CLASS_NAMES, batch_size=4,
+                                          training=True)
+    items = [dataset[i % len(dataset)] for i in range(8)]
+    keysets = {frozenset(it.keys()) for it in items}
+    assert len(keysets) == 1, keysets
+    batch = dataset.collate_batch(items)
+    assert batch["points"].shape[0] == 8
+    for b in loader:
+        assert b["points"].ndim == 3
+        break

@@ -136,7 +136,13 @@ class CutMixDataset(DatasetTemplate):
             d = self._raw(self.source, index)
         else:
             d = self._raw(self.target, index - len(self.source))
-        return self.prepare_data({**d, "frame_id": index})
+        out = self.prepare_data({**d, "frame_id": index})
+        # mixed samples run the per-domain augmentors (no replay recording);
+        # strip the template augmentor's replay artifacts here too or a
+        # mixed/plain batch collates inconsistent key sets
+        out.pop("augmentation_params", None)
+        out.pop("aug_vector", None)
+        return out
 
     def evaluation(self, det_annos, class_names, **kwargs):
         return self.target.evaluation(det_annos, class_names, **kwargs)
