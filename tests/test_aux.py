@@ -82,6 +82,8 @@ def test_all_configs_parse():
         if path.parent.name == "dataset_configs":
             continue
         cfg = cfg_from_yaml_file(str(path), EDict())
+        if path.name.startswith("_"):
+            continue  # dataset-fragment include (e.g. ssda_expt domain defs)
         assert "DATA_CONFIG" in cfg, path
         if path.parent.name != "pseudo_labels":
             assert "MODEL" in cfg and "NAME" in cfg.MODEL, path
