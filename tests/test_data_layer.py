@@ -198,6 +198,95 @@ def test_shared_memory_db_mmap(tmp_path):
     assert np.allclose(pts, all_pts[10:30])
 
 
+def test_consolidate_gt_database_and_shm_cache(tmp_path):
+    """consolidate_gt_database packs per-object .bin files into one npy +
+    offset infos; shm_cache_file stages it once per host (leader-elected)."""
+    import pickle
+
+    import numpy as np
+
+    from toda_tpu.config import EDict
+    from toda_tpu.datasets.augmentor.database_sampler import (
+        DataBaseSampler,
+        consolidate_gt_database,
+    )
+    from toda_tpu.utils.common_utils import shm_cache_clear, shm_cache_file
+
+    rng = np.random.RandomState(1)
+    objdir = tmp_path / "gt_database"
+    objdir.mkdir()
+    infos = {"car": []}
+    for i in range(3):
+        pts = rng.randn(5 + i, 4).astype(np.float32)
+        pts.tofile(objdir / f"obj{i}.bin")
+        infos["car"].append({
+            "name": "car", "path": f"gt_database/obj{i}.bin",
+            "box3d_lidar": np.asarray([i * 10.0, 0, 0, 4, 2, 1.6, 0.0]),
+            "num_points_in_gt": 5 + i, "difficulty": 0,
+        })
+    with open(tmp_path / "dbinfos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+    npy_path, pkl_path = consolidate_gt_database(tmp_path / "dbinfos.pkl", tmp_path)
+    packed = np.load(npy_path)
+    assert packed.shape == (5 + 6 + 7, 4)
+
+    # the sampler reads identical points through the mmap path
+    cfg = EDict({
+        "DB_INFO_PATH": [pkl_path.name],
+        "DB_DATA_PATH": [npy_path.name],
+        "USE_SHARED_MEMORY": True,
+        "SAMPLE_GROUPS": ["car:1"],
+        "NUM_POINT_FEATURES": 4,
+    })
+    sampler = DataBaseSampler(tmp_path, cfg, ["car"])
+    with open(pkl_path, "rb") as f:
+        shared_infos = pickle.load(f)
+    for i, info in enumerate(shared_infos["car"]):
+        expect = np.fromfile(objdir / f"obj{i}.bin", np.float32).reshape(-1, 4)
+        np.testing.assert_allclose(sampler._load_points(info), expect)
+
+    # shm staging: first call copies, second call reuses the staged file
+    shm_dir = tmp_path / "fake_shm"
+    staged = shm_cache_file(npy_path, shm_dir=shm_dir)
+    assert staged.parent == shm_dir and staged.exists()
+    again = shm_cache_file(npy_path, shm_dir=shm_dir)
+    assert again == staged
+    np.testing.assert_allclose(np.load(staged), packed)
+    shm_cache_clear(shm_dir)
+    assert not shm_dir.exists()
+
+
+def test_random_local_frustum_dropout():
+    """Per-box slab dropout: top-direction slab removes exactly the in-box
+    points above the per-box threshold (reference local_frustum_dropout_top)."""
+    from toda_tpu.datasets.augmentor import augmentor_utils as au
+
+    boxes = np.array([[0, 0, 0, 4.0, 2.0, 2.0, 0.0]], np.float32)
+    # 3 in-box points at z = -0.8, 0.0, +0.8; one far point
+    pts = np.array([
+        [0, 0, -0.8, 1.0],
+        [0, 0, 0.0, 1.0],
+        [0, 0, 0.8, 1.0],
+        [50, 50, 0.8, 1.0],
+    ], np.float32)
+    # replay intensity 0.5 -> threshold z >= (1 - 0.5*2) = 0.0 dropped
+    _, out, used, keep = au.random_local_frustum_dropout(
+        boxes, pts, params=("top", [0.5])
+    )
+    assert used == ("top", [0.5])
+    np.testing.assert_array_equal(keep, [True, False, False, True])
+    assert len(out) == 2
+
+    # random draw stays within the configured intensity range and replays
+    gt, out2, used2, _ = au.random_local_frustum_dropout(
+        boxes, pts, intensity_range=(0.1, 0.3), directions=("bottom",)
+    )
+    assert used2[0] == "bottom" and 0.1 <= used2[1][0] <= 0.3
+    _, out3, _, _ = au.random_local_frustum_dropout(boxes, pts, params=used2)
+    np.testing.assert_allclose(out2, out3)
+
+
 def test_pyramid_helpers_and_augs():
     from toda_tpu.datasets.augmentor import augmentor_utils as au
 

@@ -160,6 +160,44 @@ def random_world_frustum_dropout(gt_boxes, points, intensity_range=(0.2, 0.7),
     return gt_boxes[box_keep], points[keep], (float(direction), float(half)), box_keep
 
 
+def random_local_frustum_dropout(gt_boxes, points, intensity_range=(0.2, 0.7),
+                                 directions=("top",), params=None):
+    """Per-box slab dropout: for every gt box, drop the points inside it that
+    fall in a slab of random thickness off one face.
+
+    Reference: augmentor_utils.local_frustum_dropout_{top,bottom,left,right}
+    (:394-473) — global-axis slabs (z for top/bottom, y for left/right; the
+    reference ignores heading for left/right, preserved here), one random
+    intensity per box. params: (direction, [intensity per box]).
+    """
+    m = len(gt_boxes)
+    if params is None:
+        direction = directions[np.random.randint(len(directions))]
+        intensities = np.random.uniform(*intensity_range, size=m)
+    else:
+        direction, intensities = params
+        intensities = np.asarray(intensities, dtype=np.float64)
+    if m == 0:
+        return gt_boxes, points, (direction, []), np.ones(len(points), bool)
+
+    from ...utils import box_utils
+
+    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])  # (m, n)
+    z, dz = gt_boxes[:, 2], gt_boxes[:, 5]
+    y, dy = gt_boxes[:, 1], gt_boxes[:, 4]
+    x, dx = gt_boxes[:, 0], gt_boxes[:, 3]
+    if direction == "top":
+        drop = member & (points[None, :, 2] >= (z + dz / 2 - intensities * dz)[:, None])
+    elif direction == "bottom":
+        drop = member & (points[None, :, 2] <= (z - dz / 2 + intensities * dz)[:, None])
+    elif direction == "left":
+        drop = member & (points[None, :, 1] >= (y + dy / 2 - intensities * dy)[:, None])
+    else:  # right
+        drop = member & (points[None, :, 1] <= (y - dy / 2 + intensities * dy)[:, None])
+    keep = ~drop.any(axis=0)
+    return gt_boxes, points[keep], (direction, intensities.tolist()), keep
+
+
 def reverse_boxes_transform(boxes, aug_params):
     """Undo recorded world augmentations on predicted boxes (for the stage-2
     consistency loss — reference pcdet/models/__init__.py reverse_transform).

@@ -163,6 +163,20 @@ class DataAugmentor:
             data_dict["gt_boxes_mask"] = np.asarray(data_dict["gt_boxes_mask"])[box_keep]
         return data_dict
 
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        gt_boxes, points, used, _ = augmentor_utils.random_local_frustum_dropout(
+            data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
+            data_dict["points"],
+            intensity_range=tuple(config.get("INTENSITY_RANGE", (0.2, 0.7))),
+            directions=tuple(config.get("DIRECTION", ("top",))),
+            params=self._replay_param(data_dict, "random_local_frustum_dropout"),
+        )
+        self._record(data_dict, "random_local_frustum_dropout", used)
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
     def random_local_translation(self, data_dict=None, config=None):
         """Reference: data_augmentor.py:118-134 (per-axis per-box offsets)."""
         if data_dict is None:

@@ -14,6 +14,62 @@ import numpy as np
 from ...utils import box_utils
 
 
+def consolidate_gt_database(dbinfos_path, root_path, out_npy=None, out_pkl=None,
+                            num_point_features=4, logger=None):
+    """Pack a per-object-file GT database into ONE .npy + offset-carrying infos.
+
+    The shared-memory form of the database: the consolidated array is opened
+    with mmap_mode='r' by every sampler (one page-cache copy per host), and can
+    additionally be staged into /dev/shm via common_utils.shm_cache_file —
+    together these replace the reference's SharedArray lifecycle
+    (database_sampler.py:59-86, common_utils.py:245-249).
+
+    Returns (npy_path, pkl_path).
+    """
+    dbinfos_path = Path(dbinfos_path)
+    root = Path(root_path) if root_path is not None else None
+    with open(dbinfos_path, "rb") as f:
+        infos = pickle.load(f)
+
+    chunks, new_infos, offset = [], {}, 0
+    for cls, items in infos.items():
+        new_items = []
+        for info in items:
+            info = dict(info)
+            if "points" in info:
+                pts = np.asarray(info.pop("points"), dtype=np.float32)
+            else:
+                p = Path(info["path"])
+                if not p.is_absolute() and root is not None:
+                    p = root / p
+                pts = np.fromfile(str(p), dtype=np.float32).reshape(
+                    -1, num_point_features
+                )
+            chunks.append(pts[:, :num_point_features])
+            info["db_offset"] = offset
+            info["num_points_in_gt"] = len(pts)
+            offset += len(pts)
+            new_items.append(info)
+        new_infos[cls] = new_items
+
+    all_pts = (
+        np.concatenate(chunks, axis=0)
+        if chunks
+        else np.zeros((0, num_point_features), np.float32)
+    )
+    npy_path = Path(out_npy or dbinfos_path.with_suffix("")).with_suffix(".npy")
+    pkl_path = Path(out_pkl or str(dbinfos_path).replace(".pkl", "_shared.pkl"))
+    np.save(str(npy_path), all_pts)
+    with open(pkl_path, "wb") as f:
+        pickle.dump(new_infos, f)
+    if logger is not None:
+        logger.info(
+            "consolidated %d objects / %d points -> %s + %s",
+            sum(len(v) for v in new_infos.values()), len(all_pts), npy_path, pkl_path,
+        )
+    return npy_path, pkl_path
+
+
 class DataBaseSampler:
     def __init__(self, root_path, sampler_cfg, class_names, logger=None):
         self.root_path = Path(root_path) if root_path is not None else None
@@ -100,6 +156,13 @@ class DataBaseSampler:
                 db_path = Path(self.sampler_cfg["DB_DATA_PATH"][0])
                 if not db_path.is_absolute() and self.root_path is not None:
                     db_path = self.root_path / db_path
+                if self.sampler_cfg.get("SHM_CACHE", False):
+                    # stage into /dev/shm once per host (leader-elected copy,
+                    # other processes wait) — the reference's SharedArray
+                    # lifecycle (database_sampler.py:59-86)
+                    from ...utils.common_utils import shm_cache_file
+
+                    db_path = shm_cache_file(db_path)
                 self._db_mmap = np.load(str(db_path), mmap_mode="r")
             lo, n = int(info["db_offset"]), int(info["num_points_in_gt"])
             return np.array(self._db_mmap[lo : lo + n, :num_feat], dtype=np.float32)

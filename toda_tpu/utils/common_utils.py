@@ -186,3 +186,67 @@ def scan_dir_for_ckpts(ckpt_dir, pattern="checkpoint_epoch_*"):
             return -1
 
     return sorted(ckpts, key=epoch_of)
+
+
+def shm_cache_file(src_path, shm_dir="/dev/shm/toda_tpu", timeout_s=600.0):
+    """Stage a file into /dev/shm once per host; every process gets the shm path.
+
+    The reference loads the GT database into shared memory with a rank-leader
+    SharedArray create + dist barrier (database_sampler.py:59-86,
+    common_utils.py:245-249 sa_create). Here the leader is elected with an
+    O_EXCL lock file and publishes via atomic rename, so it works for ANY mix
+    of host processes (no process group required); non-leaders poll until the
+    published copy appears. Falls back to the source path when /dev/shm is
+    unavailable.
+    """
+    import os
+    import shutil
+    import time
+
+    src_path = Path(src_path)
+    shm_dir = Path(shm_dir)
+    dst = shm_dir / src_path.name
+    if dst.exists():
+        return dst
+    try:
+        shm_dir.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return src_path
+
+    lock = dst.with_suffix(dst.suffix + ".lock")
+    try:
+        fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        fd = None
+    except OSError:
+        return src_path
+
+    if fd is not None:  # leader: copy to a temp name, then atomic rename
+        try:
+            tmp = dst.with_suffix(dst.suffix + f".tmp{os.getpid()}")
+            shutil.copyfile(str(src_path), str(tmp))
+            os.replace(str(tmp), str(dst))
+        finally:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
+        return dst
+
+    deadline = time.monotonic() + timeout_s
+    while not dst.exists():
+        if not lock.exists() and not dst.exists():
+            # leader died before publishing — retry the election
+            return shm_cache_file(src_path, shm_dir=shm_dir, timeout_s=timeout_s)
+        if time.monotonic() > deadline:
+            return src_path  # give up on sharing, read the original
+        time.sleep(0.05)
+    return dst
+
+
+def shm_cache_clear(shm_dir="/dev/shm/toda_tpu"):
+    """Remove this host's staged shm copies (the reference's SharedArray
+    teardown, database_sampler.py __del__)."""
+    import shutil
+
+    shm_dir = Path(shm_dir)
+    if shm_dir.exists():
+        shutil.rmtree(shm_dir, ignore_errors=True)

@@ -151,10 +151,25 @@ def _pandaset(args, logger):
                           args.save_path or args.data_path)
 
 
+def _consolidate(args, logger):
+    """Pack a per-object-file GT database into one .npy + offset infos for the
+    USE_SHARED_MEMORY sampler path (optionally staged into /dev/shm at train
+    time via SHM_CACHE)."""
+    from toda_tpu.datasets.augmentor.database_sampler import consolidate_gt_database
+
+    if not args.dbinfos:
+        raise SystemExit("--dbinfos is required for `consolidate`")
+    consolidate_gt_database(
+        args.dbinfos, args.data_path,
+        num_point_features=args.num_point_features, logger=logger,
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("dataset",
-                        choices=["kitti", "nuscenes", "waymo", "lyft", "pandaset"])
+                        choices=["kitti", "nuscenes", "waymo", "lyft", "pandaset",
+                                 "consolidate"])
     parser.add_argument("--data_path", required=True,
                         help="raw dataset root (waymo: dir of .tfrecord files)")
     parser.add_argument("--save_path", default=None,
@@ -173,10 +188,14 @@ def main():
     parser.add_argument("--sub_db_percents", type=float, nargs="*", default=[],
                         help="nuscenes: also build SSDA labeled-percentage "
                              "sub GT databases (e.g. 1 5 10)")
+    parser.add_argument("--dbinfos", default=None,
+                        help="consolidate: path to the dbinfos pkl to pack")
+    parser.add_argument("--num_point_features", type=int, default=4)
     args = parser.parse_args()
     logger = common_utils.create_logger()
     {"kitti": _kitti, "nuscenes": _nuscenes, "waymo": _waymo,
-     "lyft": _lyft, "pandaset": _pandaset}[args.dataset](args, logger)
+     "lyft": _lyft, "pandaset": _pandaset,
+     "consolidate": _consolidate}[args.dataset](args, logger)
 
 
 if __name__ == "__main__":
