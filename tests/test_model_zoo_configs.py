@@ -37,7 +37,7 @@ def shrink_for_smoke(cfg):
     for p in dc.get("DATA_PROCESSOR", []):
         if p.NAME == "sample_points":
             p.NUM_POINTS = {"train": 2048, "test": 2048}
-        elif p.NAME == "transform_points_to_voxels":
+        elif p.NAME in ("transform_points_to_voxels", "transform_points_to_voxels_placeholder"):
             voxel = p.VOXEL_SIZE
             p.MAX_NUMBER_OF_VOXELS = {"train": 1024, "test": 1024}
     rng = list(dc.POINT_CLOUD_RANGE)

@@ -68,6 +68,28 @@ class DataProcessor:
             return partial(self.transform_points_to_voxels, config=config)
         return data_dict  # no-op on host
 
+    def transform_points_to_voxels_placeholder(self, data_dict=None, config=None):
+        """pcdet public alias used by dynamic-VFE configs (reference
+        data_processor.py `transform_points_to_voxels_placeholder`): records the
+        voxel geometry only — the dynamic VFE owns its voxelization. On TPU the
+        dynamic scatter still needs a static pillar/voxel cap, so
+        MAX_NUMBER_OF_VOXELS is honored when present and defaulted otherwise."""
+        if data_dict is None:
+            grid_size = (
+                self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
+            ) / np.asarray(config.VOXEL_SIZE)
+            self.grid_size = np.round(grid_size).astype(np.int64)
+            self.voxel_size = np.asarray(config.VOXEL_SIZE, dtype=np.float32)
+            caps = config.get("MAX_NUMBER_OF_VOXELS", None)
+            if caps is not None:
+                self.max_voxels = int(caps[self.mode])
+            elif self.max_voxels is None:
+                self.max_voxels = 150000
+            if self.max_points_per_voxel is None:
+                self.max_points_per_voxel = int(config.get("MAX_POINTS_PER_VOXEL", 1))
+            return partial(self.transform_points_to_voxels_placeholder, config=config)
+        return data_dict  # no-op on host
+
     def sample_points(self, data_dict=None, config=None):
         """Subsample (or duplicate-pad) points to NUM_POINTS — this sets the static P.
 

@@ -4,7 +4,8 @@
 Reference: pcdet/models/dense_heads/point_intra_part_head.py (PointIntraPartOffsetHead):
 cls branch (fg segmentation) + part branch regressing each fg point's relative
 (x, y, z) position INSIDE its gt box (sigmoid targets in [0, 1]); optional box
-branch unused in the PartA2 default config.
+branch (REG_FC + PointResidualCoder, reference :31-37,101-122) used by the
+anchor-free PartA2_free config to emit per-point proposals.
 """
 
 import flax.linen as nn
@@ -41,6 +42,20 @@ class PointHeadIntraPart(nn.Module):
         batch_dict["point_part_preds"] = part
         batch_dict["point_cls_scores"] = jax.nn.sigmoid(logits).max(axis=-1)
         batch_dict["point_part_offset"] = jax.nn.sigmoid(part)
+
+        if self.model_cfg.get("REG_FC"):
+            # anchor-free box branch (PartA2_free): per-point proposals decoded
+            # against the point coords, same contract as PointHeadBox
+            from .point_head_box import build_point_box_coder
+
+            coder = build_point_box_coder(self.model_cfg)
+            box_preds = branch(feats, self.model_cfg["REG_FC"], coder.code_size, "box")
+            batch_dict["point_box_preds_raw"] = box_preds
+            pred_cls = logits.argmax(axis=-1) + 1
+            batch_dict["batch_box_preds"] = coder.decode(
+                box_preds, batch_dict["point_coords"], pred_cls
+            )
+            batch_dict["batch_cls_preds"] = logits
         return batch_dict
 
 
@@ -93,4 +108,31 @@ def point_head_intra_part_loss(batch_dict, gt_boxes, model_cfg, num_class):
         (bce * positives).sum() / pos_norm * float(lw.get("point_part_weight", 1.0))
     )
     total = cls_loss + part_loss
-    return total, {"point_loss_cls": cls_loss, "point_loss_part": part_loss}
+    tb = {"point_loss_cls": cls_loss, "point_loss_part": part_loss}
+
+    if "point_box_preds_raw" in batch_dict:
+        # PartA2_free box branch: smooth-L1 on fg points, same targets as
+        # PointHeadBox (reference get_box_layer_loss)
+        from .point_head_box import build_point_box_coder
+
+        coder = build_point_box_coder(model_cfg)
+
+        def one(kp, gt):
+            boxes = jnp.where((gt[:, -1] > 0)[:, None], gt[:, :7], 0.0)
+            bid = points_box_id(kp, boxes)
+            g = gt[jnp.clip(bid, 0, None)]
+            return coder.encode(g[:, :7], kp, g[:, -1].astype(jnp.int32))
+
+        box_targets = jax.vmap(one)(batch_dict["point_coords"], gt_boxes)
+        box_preds = batch_dict["point_box_preds_raw"]
+        reg = loss_utils.weighted_smooth_l1_loss(
+            box_preds, box_targets, code_weights=lw.get("code_weights", None)
+        )
+        fg = positives.astype(box_preds.dtype)
+        box_loss = (
+            (reg * fg[..., None]).sum() / pos_norm
+            * float(lw.get("point_box_weight", 1.0))
+        )
+        total = total + box_loss
+        tb["point_loss_box"] = box_loss
+    return total, tb

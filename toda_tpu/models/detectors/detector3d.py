@@ -292,6 +292,11 @@ class Detector3D(nn.Module):
         dense_name = (
             self.model_cfg["DENSE_HEAD"]["NAME"] if self.model_cfg.get("DENSE_HEAD") else None
         )
+        if dense_name == "CenterHead":
+            # CenterHead RPN (waymo pv_rcnn_with_centerhead_rpn /
+            # voxel_rcnn_with_centerhead_dyn_voxel): the top-K heatmap decode IS
+            # the proposal ranking; optional NMS below prunes duplicates.
+            return self._centerhead_proposals(batch_dict, cfg, training)
         if dense_name == "AnchorHeadSingle":
             cls_logits, box_preds = generate_predicted_boxes(
                 batch_dict, jnp.asarray(self.anchors), cfg["DENSE_HEAD"], self.box_coder_ref
@@ -324,6 +329,54 @@ class Detector3D(nn.Module):
             batch_dict["roi_labels"] = jnp.take_along_axis(labels, idx, axis=1)
             batch_dict["roi_mask"] = jnp.ones(top_scores.shape, dtype=bool)
 
+        return batch_dict
+
+    def _centerhead_proposals(self, batch_dict, cfg, training):
+        """CenterHead first-stage proposals: top-K decode (+ optional NMS).
+
+        Reference: CenterHead.generate_predicted_boxes feeding
+        RoIHeadTemplate.proposal_layer in pv_rcnn_with_centerhead_rpn."""
+        from ...ops.nms import class_agnostic_nms
+        from ..dense_heads.center_head import CenterHead
+
+        roi_cfg = cfg["ROI_HEAD"]
+        helper = CenterHead(
+            model_cfg=cfg["DENSE_HEAD"],
+            input_channels=0,
+            num_class=self.num_class,
+            class_names=self.meta.class_names,
+            grid_size=self.meta.grid_size,
+            point_cloud_range=self.meta.point_cloud_range,
+            voxel_size=self.meta.voxel_size,
+        )
+        nms_cfg_all = roi_cfg.get("NMS_CONFIG", None)
+        if nms_cfg_all is not None:
+            nms_cfg = nms_cfg_all.get("TRAIN" if training else "TEST", nms_cfg_all)
+            pre_max = int(nms_cfg.get("NMS_PRE_MAXSIZE", 512))
+            post_max = int(nms_cfg.get("NMS_POST_MAXSIZE", 128))
+            thresh = float(nms_cfg.get("NMS_THRESH", 0.7))
+            boxes, scores, labels = helper.generate_predicted_boxes(
+                batch_dict, max_obj=min(pre_max, 512)
+            )
+
+            def one(bx, sc, lb):
+                idx, mask = class_agnostic_nms(
+                    sc, bx[:, :7], score_thresh=None, nms_thresh=thresh,
+                    pre_maxsize=bx.shape[0], post_maxsize=post_max,
+                )
+                return bx[idx], sc[idx] * mask, lb[idx] * mask, mask
+
+            rois, roi_scores, roi_labels, roi_mask = jax.vmap(one)(boxes, scores, labels)
+        else:
+            n_rois = int(roi_cfg.get("NUM_ROIS", 128))
+            rois, roi_scores, roi_labels = helper.generate_predicted_boxes(
+                batch_dict, max_obj=n_rois
+            )
+            roi_mask = jnp.ones(roi_scores.shape, dtype=bool)
+        batch_dict["rois"] = rois[..., :7]
+        batch_dict["roi_scores"] = roi_scores
+        batch_dict["roi_labels"] = roi_labels
+        batch_dict["roi_mask"] = roi_mask
         return batch_dict
 
     def _apply_roi_head(self, batch_dict, cfg, training):

@@ -35,9 +35,14 @@ class PartA2FCHead(nn.Module):
         pts = batch_dict["point_coords"]  # (B, N, 3)
         pmask = batch_dict["point_mask"]
         seg = jax.lax.stop_gradient(batch_dict["point_cls_scores"])  # (B, N)
-        part = batch_dict.get(
-            "point_part_offset", jnp.zeros(pts.shape, dtype=pts.dtype)
-        )
+        if cfg.get("DISABLE_PART", False):
+            # PartA2_free: pool raw coords instead of part offsets
+            # (reference partA2_head.py:122)
+            part = pts
+        else:
+            part = batch_dict.get(
+                "point_part_offset", jnp.zeros(pts.shape, dtype=pts.dtype)
+            )
         part = jnp.where((seg >= thresh)[..., None], part, 0.0)
         part_feats = jnp.concatenate([part, seg[..., None]], axis=-1)  # (B, N, 4)
 
