@@ -196,3 +196,24 @@ def test_voxel_perturb_roundtrip_survives_resampling():
     dj = lookup_voxel_perturb(jittered, info)
     inside_j = np.abs(jittered[:, :2]).max(axis=1) < 2.5
     assert (np.abs(dj[inside_j]).sum(axis=1) > 0).mean() > 0.3
+
+
+def test_test_seed_offset_presents_train_scenes():
+    """TEST_SEED_OFFSET: 0 makes a test-mode SyntheticDataset present the
+    TRAIN scenes — needed so pseudo labels generated by the (test-mode)
+    generator loader reference the same frames stage 2 reads back (the
+    synthetic analog of the reference pseudo_labels/*.yaml pointing
+    DATA_SPLIT.test at the train infos). Default offset keeps val disjoint."""
+    ds_cfg = tiny_dataset_cfg(seed=777)
+    train_ds = build_dataset(ds_cfg, CLASS_NAMES, training=True)
+    val_ds = build_dataset(ds_cfg, CLASS_NAMES, training=False)
+    pts_train, boxes_train, _ = train_ds.get_raw_scene(0)
+    pts_val, _, _ = val_ds.get_raw_scene(0)
+    assert pts_train.shape != pts_val.shape or not np.allclose(pts_train, pts_val)
+
+    ds_cfg2 = tiny_dataset_cfg(seed=777)
+    ds_cfg2.TEST_SEED_OFFSET = 0
+    pseudo_ds = build_dataset(ds_cfg2, CLASS_NAMES, training=False)
+    pts_ps, boxes_ps, _ = pseudo_ds.get_raw_scene(0)
+    np.testing.assert_allclose(pts_ps, pts_train)
+    np.testing.assert_allclose(boxes_ps, boxes_train)

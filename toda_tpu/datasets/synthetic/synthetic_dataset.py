@@ -90,7 +90,14 @@ class SyntheticDataset(DatasetTemplate):
             logger=logger,
         )
         self.num_scenes = int(dataset_cfg.get("NUM_SCENES", 64))
-        self.seed = int(dataset_cfg.get("SEED", 0)) + (0 if training else 10_000)
+        # TEST_SEED_OFFSET: seed shift applied in test mode (default 10_000 =
+        # a disjoint val split). Setting it to 0 makes a test-mode loader
+        # present the TRAIN scenes — the synthetic analog of the reference
+        # pseudo-label configs pointing DATA_SPLIT.test at the train infos
+        # (/root/reference/tools/cfgs/pseudo_labels/*.yaml), needed so pseudo
+        # labels are generated for the same frames stage 2 reads back.
+        test_offset = int(dataset_cfg.get("TEST_SEED_OFFSET", 10_000))
+        self.seed = int(dataset_cfg.get("SEED", 0)) + (0 if training else test_offset)
         self.num_features = len(dataset_cfg.POINT_FEATURE_ENCODING.src_feature_list)
         self.scene_kwargs = dict(
             num_objects=tuple(dataset_cfg.get("NUM_OBJECTS", (3, 10))),
