@@ -217,3 +217,28 @@ def test_test_seed_offset_presents_train_scenes():
     pts_ps, boxes_ps, _ = pseudo_ds.get_raw_scene(0)
     np.testing.assert_allclose(pts_ps, pts_train)
     np.testing.assert_allclose(boxes_ps, boxes_train)
+
+
+def test_filter_min_points_boxes():
+    """Pseudo boxes with too few interior points are dropped (reconstructed
+    reference filtering_min_points_box, generate_pseudo_labels_perturb.py:149)."""
+    from toda_tpu.runtime.pseudo_label import filter_min_points_boxes
+
+    rng = np.random.RandomState(0)
+    # box A: 20 points inside; box B: 2 points inside; box C: empty
+    boxes = np.asarray([
+        [0, 0, 0, 2, 2, 2, 0.0],
+        [10, 10, 0, 2, 2, 2, 0.0],
+        [-10, -10, 0, 2, 2, 2, 0.0],
+    ], np.float32)
+    pts_a = rng.uniform(-0.8, 0.8, (20, 3)).astype(np.float32)
+    pts_b = rng.uniform(9.2, 10.8, (2, 3)).astype(np.float32)
+    pts_b[:, 2] -= 10.0
+    points = np.concatenate([pts_a, pts_b]).astype(np.float32)
+    keep = filter_min_points_boxes(boxes, points, min_points=5)
+    assert keep.tolist() == [True, False, False]
+    keep1 = filter_min_points_boxes(boxes, points, min_points=1)
+    assert keep1.tolist() == [True, True, False]
+    # disabled filter keeps everything; empty points drops everything
+    assert filter_min_points_boxes(boxes, points, 0).all()
+    assert not filter_min_points_boxes(boxes, np.zeros((0, 3), np.float32), 5).any()

@@ -34,6 +34,21 @@ def make_perturb_step(bundle):
     return jax.jit(perturb)
 
 
+def filter_min_points_boxes(boxes, points, min_points):
+    """Keep mask for pseudo boxes containing >= min_points points — the
+    reconstructed `filtering_min_points_box` semantics (missing upstream
+    perturb_utils; call site generate_pseudo_labels_perturb.py:149 drops
+    low-support pseudo boxes before storing perturbations)."""
+    from ..utils import box_utils
+
+    if min_points <= 0 or len(boxes) == 0:
+        return np.ones(len(boxes), bool)
+    if len(points) == 0:
+        return np.zeros(len(boxes), bool)
+    member = box_utils.points_in_boxes_numpy(points, boxes[:, :7])  # (B, P)
+    return member.sum(axis=1) >= min_points
+
+
 def generate_pseudo_labels(
     bundle,
     variables,
@@ -43,6 +58,7 @@ def generate_pseudo_labels(
     score_thresh=0.2,
     with_perturb=False,
     eps=1.0,
+    min_points=0,
     logger=None,
 ):
     """Sweep the unlabeled split; returns pseudo info list compatible with
@@ -50,6 +66,8 @@ def generate_pseudo_labels(
 
     score_thresh: float or {class_name: float} (reference uses 0.2 at 1-10%
     labels, 0.3 at 20% — docs/RUN_MODEL.md:22-24).
+    min_points: drop pseudo boxes with fewer interior points (reference
+    filtering_min_points_box, generate_pseudo_labels_perturb.py:149).
     """
     predict_step = make_predict_step(bundle)
     perturb_step = make_perturb_step(bundle) if with_perturb else None
@@ -87,6 +105,10 @@ def generate_pseudo_labels(
             scores = dets["pred_scores"][i][m]
             labels = dets["pred_labels"][i][m].astype(int)
             keep = scores >= thresh_arr[np.clip(labels - 1, 0, len(class_names) - 1)]
+            if min_points > 0:
+                pts_i = np.asarray(batch["points"][i])
+                mask_i = np.asarray(batch["points_mask"][i]).astype(bool)
+                keep &= filter_min_points_boxes(boxes, pts_i[mask_i], min_points)
             info = {
                 "index": batch["frame_id"][i] if "frame_id" in batch else i,
                 "gt_boxes": boxes[keep][:, :7],

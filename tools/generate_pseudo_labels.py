@@ -33,6 +33,9 @@ def main():
                         type=float, default=0.2)
     parser.add_argument("--perturb", action="store_true")
     parser.add_argument("--eps", type=float, default=1.0)
+    parser.add_argument("--min_points", type=int, default=0,
+                        help="drop pseudo boxes with fewer interior points "
+                             "(reference filtering_min_points_box)")
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -60,7 +63,7 @@ def main():
     infos = generate_pseudo_labels(
         bundle, variables, loader, dataset, cfg.CLASS_NAMES,
         score_thresh=args.score_thresh, with_perturb=args.perturb, eps=args.eps,
-        logger=logger,
+        min_points=args.min_points, logger=logger,
     )
     out_path = args.output or (output_dir / "pseudo_infos.pkl")
     with open(out_path, "wb") as f:
