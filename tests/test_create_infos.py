@@ -89,8 +89,9 @@ def test_kitti_cli_end_to_end(raw_tree):
     assert batch["points"].shape == (1, 1024, 4)
 
 
-def test_devkit_gated_paths_raise(raw_tree):
-    # lyft requires its devkit; the CLI surfaces the gating ImportError
+def test_lyft_cli_fails_cleanly_without_tables(raw_tree):
+    # lyft info-gen is devkit-free (JSON tables); on a tree with no tables the
+    # CLI must fail with a missing-file error, not import a devkit
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     out = subprocess.run(
         [sys.executable, str(REPO / "tools" / "create_infos.py"), "lyft",
@@ -98,7 +99,8 @@ def test_devkit_gated_paths_raise(raw_tree):
         capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
     )
     assert out.returncode != 0
-    assert "lyft_dataset_sdk" in out.stderr
+    assert "lyft_dataset_sdk" not in out.stderr
+    assert "No such file" in out.stderr or "FileNotFoundError" in out.stderr
 
 
 def _write_fake_nuscenes(root):

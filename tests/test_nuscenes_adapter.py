@@ -281,13 +281,17 @@ def test_devkit_free_info_generation(tmp_path):
     write("category", [{"token": "cat_car", "name": "vehicle.car"}])
     write("instance", [{"token": "inst0", "category_token": "cat_car"}])
     # object 10m ahead of the ego (global +y since ego faces +y after 90deg yaw)
+    # NOTE: real raw sample_annotation rows carry NO category_token/
+    # category_name — only instance_token (the devkit denormalizes at load
+    # time). The fixture matches the real schema so the instance->category
+    # resolution path is what gets tested.
     write("sample_annotation", [
         {"token": "a0", "sample_token": "s0", "instance_token": "inst0",
-         "category_token": "cat_car", "translation": [100.0, 60.0, 1.0],
+         "translation": [100.0, 60.0, 1.0],
          "rotation": q_yaw90, "size": [2.0, 4.5, 1.7],
          "num_lidar_pts": 42, "prev": "", "next": "a1"},
         {"token": "a1", "sample_token": "s1", "instance_token": "inst0",
-         "category_token": "cat_car", "translation": [100.0, 62.0, 1.0],
+         "translation": [100.0, 62.0, 1.0],
          "rotation": q_yaw90, "size": [2.0, 4.5, 1.7],
          "num_lidar_pts": 40, "prev": "a0", "next": ""},
     ])

@@ -3,9 +3,9 @@
 Reference: pcdet/datasets/lyft/lyft_dataset.py:13-250 (+ lyft_utils.py and
 lyft_mAP_eval/lyft_eval.py). Same info-pkl contract as the nuScenes adapter:
 each info carries lidar_path, sweeps [{lidar_path, transform_matrix,
-time_lag}], gt_boxes (N, 7(+2)), gt_names, num_lidar_pts. Info GENERATION
-needs the lyft_dataset_sdk devkit (gated, like the nuScenes one); loading and
-evaluation are devkit-free:
+time_lag}], gt_boxes (N, 7(+2)), gt_names, num_lidar_pts. Info generation,
+loading and evaluation are all devkit-free (Lyft raw data is the nuScenes
+JSON-table schema; see create_lyft_infos):
 
   * eval_metric 'kitti' -> native official-protocol KITTI AP
     (toda_tpu/utils/kitti_eval_native.py)
@@ -231,19 +231,69 @@ def lyft_map_eval(det_annos, gt_annos, class_names, iou_thresholds):
     return result_str, ap_dict
 
 
+def create_lyft_infos(data_path, version="trainval", save_path=None,
+                      split_scenes=None, max_sweeps=10, logger=None):
+    """Devkit-free info generation from the raw Lyft Level-5 JSON tables.
+
+    Lyft ships the nuScenes schema (scene / sample / sample_data / ego_pose /
+    calibrated_sensor / sample_annotation / instance / category JSON tables),
+    so the traversal reuses the devkit-free nuScenes table reader. Mirrors the
+    reference procedure (lyft_dataset.py:251-307 + lyft_utils.py:91-224
+    fill_trainval_infos) with the Lyft-specific conventions:
+      * category names are already detection names (car, pedestrian, ...) —
+        no general->detection remap;
+      * no velocity channels — gt_boxes stay (N, 7);
+      * splits come from <data_path>/ImageSets/{train,val}.txt scene-name
+        lists when present (the reference's layout), else `split_scenes`,
+        else a name-ordered 85/15 split.
+
+    Layout: tables at <data_path>/<version>/data/*.json (the devkit's
+    json_path) or directly at <data_path>/<version>/*.json.
+    """
+    from ..nuscenes.nuscenes_utils import NuScenesTables, fill_infos
+
+    root = Path(data_path) / version
+    json_dir = root / "data" if (root / "data" / "sample.json").exists() else root
+    t = NuScenesTables(json_dir.parent, json_dir.name)
+
+    if split_scenes is None:
+        split_dir = Path(data_path) / "ImageSets"
+        train_txt, val_txt = split_dir / "train.txt", split_dir / "val.txt"
+        if train_txt.exists():
+            split_scenes = {
+                "train": [x.strip() for x in train_txt.read_text().splitlines() if x.strip()],
+                "val": [x.strip() for x in val_txt.read_text().splitlines() if x.strip()]
+                if val_txt.exists() else [],
+            }
+        else:
+            names = sorted(s["name"] for s in t.rows["scene"])
+            cut = int(len(names) * 0.85)
+            split_scenes = {"train": names[:cut], "val": names[cut:]}
+            if logger:
+                logger.warning(
+                    "no ImageSets split lists found; using a name-ordered "
+                    "85/15 scene split"
+                )
+
+    train_infos, val_infos = fill_infos(
+        t, split_scenes, max_sweeps=max_sweeps, name_map=None,
+        with_velocity=False, with_attributes=False,
+    )
+    if logger:
+        logger.info("lyft infos: %d train, %d val", len(train_infos), len(val_infos))
+    if save_path is not None:
+        save_path = Path(save_path)
+        with open(save_path / "lyft_infos_train.pkl", "wb") as f:
+            pickle.dump(train_infos, f)
+        with open(save_path / "lyft_infos_val.pkl", "wb") as f:
+            pickle.dump(val_infos, f)
+    return train_infos, val_infos
+
+
 def create_lyft_info(version, data_path, save_path, split, max_sweeps=10):
-    """Info generation from the Lyft devkit (reference lyft_dataset.py:251-313).
-    Gated: requires lyft_dataset_sdk (not bundled)."""
-    try:
-        from lyft_dataset_sdk.lyftdataset import LyftDataset as Lyft  # noqa
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "create_lyft_info requires lyft_dataset_sdk; install it or generate "
-            "infos on a machine that has it (the training pipeline itself is "
-            "devkit-free)."
-        ) from e
-    raise NotImplementedError(
-        "Lyft raw-data extraction requires the devkit environment; see the "
-        "reference pcdet/datasets/lyft/lyft_dataset.py:251-313 for the "
-        "procedure this adapter's info contract mirrors."
+    """Reference-signature wrapper (lyft_dataset.py:251) over the devkit-free
+    generator above. `split` is accepted for CLI compatibility; the split
+    lists come from ImageSets (or the fallback name split)."""
+    return create_lyft_infos(
+        data_path, version=version, save_path=save_path, max_sweeps=max_sweeps
     )

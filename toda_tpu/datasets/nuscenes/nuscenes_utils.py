@@ -132,28 +132,14 @@ class NuScenesTables:
         ) / (t1 - t0)
 
 
-def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
-                          split_scenes=None, with_velocity=True, logger=None):
-    """Build train/val info lists from raw nuScenes (devkit-free).
+def fill_infos(t, split_scenes, max_sweeps=10, name_map=NAME_MAP,
+               with_velocity=True, with_attributes=True):
+    """Shared nuScenes-schema traversal (also used by the Lyft adapter, whose
+    raw data ships the same tables — reference lyft_utils.py:91-224).
 
-    split_scenes: optional {'train': [...names], 'val': [...]} — defaults to
-    the official mini splits for v1.0-mini; other versions must pass theirs
-    (the official 700/150 split list ships with the devkit, not the data).
-    Returns (train_infos, val_infos); writes pkls when save_path given.
+    name_map=None keeps raw category names (Lyft categories are already
+    detection names); with_velocity=False emits (N, 7) boxes.
     """
-    t = NuScenesTables(data_path, version)
-    if split_scenes is None:
-        if "mini" in version:
-            split_scenes = {"train": MINI_TRAIN, "val": MINI_VAL}
-        else:
-            names = sorted(s["name"] for s in t.rows["scene"])
-            cut = int(len(names) * 0.82)
-            split_scenes = {"train": names[:cut], "val": names[cut:]}
-            if logger:
-                logger.warning(
-                    "no split list given; using a name-ordered 82/18 scene split"
-                )
-
     train_infos, val_infos = [], []
     for sample in t.rows["sample"]:
         sd = t.lidar_top.get(sample["token"])
@@ -181,10 +167,15 @@ def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
         boxes, names, velocities, num_pts, attrs = [], [], [], [], []
         attr_table = t.by_token.get("attribute", {})
         for ann in t.anns_of.get(sample["token"], []):
-            general = t.by_token["category"].get(
-                ann.get("category_token", ""), {}
-            ).get("name") or ann.get("category_name", "")
-            det_name = NAME_MAP.get(general)
+            # Raw sample_annotation rows carry only instance_token; category
+            # comes via instance -> category (the devkit denormalizes this into
+            # category_name at load time). Accept the denormalized forms too.
+            inst = t.by_token["instance"].get(ann.get("instance_token", ""), {})
+            cat_token = ann.get("category_token") or inst.get("category_token", "")
+            general = t.by_token["category"].get(cat_token, {}).get(
+                "name"
+            ) or ann.get("category_name", "")
+            det_name = name_map.get(general) if name_map is not None else (general or None)
             if det_name is None:
                 continue
             center = ref_from_global @ np.asarray([*ann["translation"], 1.0])
@@ -213,14 +204,42 @@ def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
             "sweeps": sweeps,
             "gt_boxes": gt_boxes,
             "gt_names": np.asarray(names),
-            "gt_attributes": np.asarray(attrs),
             "num_lidar_pts": np.asarray(num_pts, dtype=np.int32),
         }
+        if with_attributes:
+            info["gt_attributes"] = np.asarray(attrs)
         if scene_name in split_scenes["train"]:
             train_infos.append(info)
         elif scene_name in split_scenes["val"]:
             val_infos.append(info)
+    return train_infos, val_infos
 
+
+def create_nuscenes_infos(version, data_path, save_path=None, max_sweeps=10,
+                          split_scenes=None, with_velocity=True, logger=None):
+    """Build train/val info lists from raw nuScenes (devkit-free).
+
+    split_scenes: optional {'train': [...names], 'val': [...]} — defaults to
+    the official mini splits for v1.0-mini; other versions must pass theirs
+    (the official 700/150 split list ships with the devkit, not the data).
+    Returns (train_infos, val_infos); writes pkls when save_path given.
+    """
+    t = NuScenesTables(data_path, version)
+    if split_scenes is None:
+        if "mini" in version:
+            split_scenes = {"train": MINI_TRAIN, "val": MINI_VAL}
+        else:
+            names = sorted(s["name"] for s in t.rows["scene"])
+            cut = int(len(names) * 0.82)
+            split_scenes = {"train": names[:cut], "val": names[cut:]}
+            if logger:
+                logger.warning(
+                    "no split list given; using a name-ordered 82/18 scene split"
+                )
+
+    train_infos, val_infos = fill_infos(
+        t, split_scenes, max_sweeps=max_sweeps, with_velocity=with_velocity
+    )
     if logger:
         logger.info(
             "nuscenes infos: %d train, %d val", len(train_infos), len(val_infos)

@@ -3,8 +3,9 @@
 (ref kitti_dataset.py:425-470, nuscenes_dataset.py:500-560,
 waymo_dataset.py:660-720), unified under one dispatcher.
 
-KITTI, nuScenes and Waymo run devkit-free; Lyft and Pandaset require their
-devkits (the underlying create_* functions raise with instructions).
+All five datasets run devkit-free: kitti/waymo from their raw files,
+nuscenes/lyft from the raw JSON tables, pandaset from the gzip-pickled
+DataFrames + poses.json.
 
 Examples:
   python tools/create_infos.py kitti    --data_path data/kitti
@@ -68,7 +69,7 @@ def _nuscenes(args, logger):
 
     save = Path(args.save_path or args.data_path)
     train, val = create_nuscenes_infos(
-        args.version, args.data_path, save_path=save,
+        args.version or "v1.0-mini", args.data_path, save_path=save,
         max_sweeps=args.max_sweeps, logger=logger)
     logger.info("train %d / val %d infos", len(train), len(val))
     if args.with_gt_db:
@@ -135,11 +136,13 @@ def _waymo(args, logger):
 
 
 def _lyft(args, logger):
-    from toda_tpu.datasets.lyft.lyft_dataset import create_lyft_info
+    from toda_tpu.datasets.lyft.lyft_dataset import create_lyft_infos
 
-    create_lyft_info(args.version, args.data_path,
-                     args.save_path or args.data_path, "train",
-                     max_sweeps=args.max_sweeps)
+    train, val = create_lyft_infos(
+        args.data_path, version=args.version or "trainval",
+        save_path=args.save_path or args.data_path,
+        max_sweeps=args.max_sweeps, logger=logger)
+    logger.info("train %d / val %d infos", len(train), len(val))
 
 
 def _pandaset(args, logger):
@@ -147,8 +150,10 @@ def _pandaset(args, logger):
         create_pandaset_infos,
     )
 
-    create_pandaset_infos(EDict({}), None, args.data_path,
-                          args.save_path or args.data_path)
+    train, val = create_pandaset_infos(
+        EDict({}), None, args.data_path, args.save_path or args.data_path,
+        logger=logger)
+    logger.info("train %d / val %d infos", len(train), len(val))
 
 
 def _consolidate(args, logger):
@@ -174,8 +179,9 @@ def main():
                         help="raw dataset root (waymo: dir of .tfrecord files)")
     parser.add_argument("--save_path", default=None,
                         help="output dir for info pkls (default: data_path)")
-    parser.add_argument("--version", default="v1.0-mini",
-                        help="nuscenes/lyft table version")
+    parser.add_argument("--version", default=None,
+                        help="nuscenes/lyft table version (defaults: "
+                             "nuscenes v1.0-mini, lyft trainval)")
     parser.add_argument("--max_sweeps", type=int, default=10)
     parser.add_argument("--sampled_interval", type=int, default=1,
                         help="waymo: keep every Nth frame")
