@@ -97,9 +97,23 @@ class DatasetTemplate:
         data_dict = self.data_processor.forward(data_dict=data_dict)
 
         if self.training and len(data_dict.get("gt_boxes", [])) == 0:
-            # resample another frame (reference dataset.py:152-154)
+            # resample another frame (reference dataset.py:152-154). Bounded:
+            # if every sample comes back empty (e.g. class_names don't match
+            # the infos' gt_names) fail with a diagnosis instead of recursing
+            # until the stack blows.
+            self._empty_resamples = getattr(self, "_empty_resamples", 0) + 1
+            # constant cap: the retries recurse, so it must stay well under the
+            # interpreter stack limit regardless of dataset size
+            if self._empty_resamples > 128:
+                raise RuntimeError(
+                    f"{self._empty_resamples} consecutive empty-gt resamples — "
+                    f"no training sample yields gt boxes for class_names="
+                    f"{self.class_names}; check the class list against the "
+                    "infos' gt_names (case-sensitive) and the point-cloud range."
+                )
             new_index = np.random.randint(len(self))
             return self.__getitem__(new_index)
+        self._empty_resamples = 0
 
         return self.pad_to_static(data_dict)
 
