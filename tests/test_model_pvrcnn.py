@@ -57,6 +57,47 @@ def test_pvrcnn_trains_and_predicts():
     assert np.isfinite(np.asarray(dets["pred_scores"])).all()
 
 
+def test_rcnn_loss_does_not_backprop_into_rpn():
+    """The reference proposal layer runs under @torch.no_grad()
+    (roi_head_template.py:46): second-stage (rcnn) losses must have ZERO
+    gradient w.r.t. the dense-head parameters — their only path there is
+    through the proposal boxes / gt_of_rois target encoding, which must be
+    stop-gradded. A leak lets the optimizer satisfy the rcnn reg loss by
+    moving the proposals, corrupting the RPN (observed: loss spikes + dead
+    proposal recall on the 120-epoch pvrcnn_synthetic_big run)."""
+    np.random.seed(0)
+    cfg = cfg_from_yaml_file(CFG, EDict())
+    cfg.DATA_CONFIG.NUM_SCENES = 2
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    batch = next(iter(loader))
+    arrays = {k: jnp.asarray(v) for k, v in select_batch_arrays(batch).items()}
+    arrays["batch_size"] = arrays["points"].shape[0]
+    variables = bundle.init(jax.random.PRNGKey(0), arrays)
+
+    from toda_tpu.models.roi_heads.roi_utils import roi_losses
+
+    def rcnn_only(params):
+        out, _ = bundle.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            arrays, training=True, mutable=["batch_stats"],
+            rngs={"sampling": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)},
+        )
+        out = dict(out)
+        out["batch_size"] = arrays["batch_size"]
+        loss, _ = roi_losses(out, cfg.MODEL.ROI_HEAD.LOSS_CONFIG, bundle.roi_box_coder)
+        return loss
+
+    grads = jax.jit(jax.grad(rcnn_only))(variables["params"])
+    dh_leaves = jax.tree_util.tree_leaves(grads["dense_head"])
+    assert dh_leaves, "dense_head params missing from grad tree"
+    leak = max(float(jnp.abs(g).max()) for g in dh_leaves)
+    assert leak == 0.0, f"rcnn loss leaks gradient into the RPN (max |g| = {leak})"
+
+
 def _toy_preds():
     """Two true objects + near-duplicate peaks around the first one."""
     base = np.array(

@@ -261,6 +261,15 @@ class Detector3D(nn.Module):
         roi_cfg = cfg["ROI_HEAD"]
         if "rois" not in batch_dict:
             batch_dict = self._make_proposals(batch_dict, cfg, training)
+            # The reference proposal layer runs under @torch.no_grad()
+            # (roi_head_template.py:46): second-stage losses must not
+            # backprop into the RPN through proposal geometry — especially
+            # not through the gt_of_rois target encoding, which is a
+            # function of the rois and would otherwise let the optimizer
+            # satisfy the rcnn reg loss by moving the proposals.
+            for k in ("rois", "roi_scores", "roi_labels", "roi_mask"):
+                if k in batch_dict:
+                    batch_dict[k] = jax.lax.stop_gradient(batch_dict[k])
 
         if (
             training
