@@ -130,3 +130,28 @@ def test_waymo_aph_native():
     _, flip = waymo_eval(det_flip, gt, ["vehicle"])
     assert flip["vehicle_LEVEL_2/AP"] > 0.99      # IoU unaffected by pi flip
     assert flip["vehicle_LEVEL_2/APH"] < 0.01     # heading weight zero
+
+
+def test_scalar_writer_jsonl_and_default(tmp_path):
+    """Run-dir observability (reference train_utils.py:82-86 tensorboardX
+    surface): create_scalar_writer must yield an add_scalar/flush/close object
+    that persists scalars under the log dir — TB event files when tensorboard
+    is importable, scalars.jsonl otherwise."""
+    import json
+
+    from toda_tpu.utils.scalar_writer import create_scalar_writer
+
+    w = create_scalar_writer(tmp_path / "jl", prefer_tensorboard=False)
+    w.add_scalar("train/loss", 1.5, 0)
+    w.add_scalar("train/loss", 1.25, 1)
+    w.flush()
+    rows = [json.loads(l) for l in (tmp_path / "jl" / "scalars.jsonl").read_text().splitlines()]
+    assert [r["value"] for r in rows] == [1.5, 1.25]
+    assert rows[1]["step"] == 1 and rows[0]["tag"] == "train/loss"
+    w.close()
+
+    d = create_scalar_writer(tmp_path / "tb")  # whichever backend is available
+    d.add_scalar("train/lr", 0.01, 0)
+    d.flush()
+    assert any((tmp_path / "tb").iterdir())
+    d.close()
