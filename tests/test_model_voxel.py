@@ -82,3 +82,44 @@ def test_second_iou_trains_and_predicts():
     assert np.isfinite(np.asarray(dets["pred_scores"])).all()
     # rescored final scores are within [0, 1] (sigmoid iou mixed with cls prob)
     assert float(np.asarray(dets["pred_scores"]).max()) <= 1.0
+
+
+def test_second_iou_loss_does_not_backprop_into_backbone():
+    """The reference SECOND-IoU head detaches BOTH the rois AND the BEV
+    feature map (second_head.py:64-65): the IoU-rescoring loss trains only the
+    head's own FC stack. A leak through spatial_features_2d lets the IoU
+    regression tug the shared BEV/3D backbones against the RPN loss."""
+    np.random.seed(0)
+    cfg = shrink(cfg_from_yaml_file(
+        "tools/cfgs/synthetic_models/second_iou_synthetic.yaml", EDict()))
+    cfg.DATA_CONFIG.NUM_SCENES = 2
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True
+    )
+    bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+    batch = next(iter(loader))
+    from toda_tpu.runtime.train_utils import select_batch_arrays as sel
+    arrays = {k: jnp.asarray(v) for k, v in sel(batch).items()}
+    variables = bundle.init(jax.random.PRNGKey(0), arrays)
+
+    from toda_tpu.models.roi_heads.second_head import second_head_loss
+
+    def iou_only(params):
+        out, _ = bundle.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            arrays, training=True, mutable=["batch_stats"],
+            rngs={"sampling": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)},
+        )
+        loss, _ = second_head_loss(dict(out), arrays["gt_boxes"])
+        return loss
+
+    grads = jax.jit(jax.grad(iou_only))(variables["params"])
+    for sub in ("vfe", "backbone_3d", "backbone_2d", "dense_head"):
+        if sub not in grads:
+            continue
+        leaves = jax.tree_util.tree_leaves(grads[sub])
+        leak = max((float(jnp.abs(g).max()) for g in leaves), default=0.0)
+        assert leak == 0.0, f"iou loss leaks gradient into {sub} (max |g| = {leak})"
+    head_leaves = jax.tree_util.tree_leaves(grads["roi_head"])
+    assert max(float(jnp.abs(g).max()) for g in head_leaves) > 0.0

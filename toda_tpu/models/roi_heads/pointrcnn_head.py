@@ -43,6 +43,13 @@ class PointRCNNHead(nn.Module):
         pooled, empty = jax.vmap(
             lambda p, f, m, rr: roipoint_pool3d(p, f, m, rr[:, :7], num_sampled_points=k)
         )(pts, feats, pmask, rois)  # (B, R, K, 3 + 2 + C), (B, R)
+        # The reference pools under torch.no_grad() (pointrcnn_head.py:116):
+        # the rcnn loss trains this head's layers only — the PointNet2 backbone
+        # and point head see ZERO gradient through the pooled point features
+        # (they are trained by the point-head losses alone). Pinned by
+        # test_model_pointrcnn_multihead.py::
+        # test_pointrcnn_rcnn_loss_does_not_backprop_into_backbone.
+        pooled = jax.lax.stop_gradient(pooled)
 
         # canonical transform into each RoI's frame
         xyz = pooled[..., :3] - rois[:, :, None, :3]

@@ -73,7 +73,12 @@ class SECONDHead(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, training=False):
-        fmap = batch_dict["spatial_features_2d"]  # (B, H, W, C)
+        # The reference detaches the BEV feature map (second_head.py:65) in
+        # addition to the rois: the IoU-rescoring loss trains ONLY this head's
+        # FC stack, never the BEV/3D backbones (those are trained by the RPN
+        # loss alone). Pinned by test_model_voxel.py::
+        # test_second_iou_loss_does_not_backprop_into_backbone.
+        fmap = jax.lax.stop_gradient(batch_dict["spatial_features_2d"])  # (B, H, W, C)
         rois = batch_dict["rois"]  # (B, N, 7)
         g = int(self.model_cfg.get("ROI_GRID_SIZE", 7))
 
