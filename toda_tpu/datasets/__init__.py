@@ -165,6 +165,9 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path
         rank=rank,
         world_size=world,
         seed=seed,
+        # the reference's num_workers DataLoader processes map to the
+        # background-thread prefetch depth here (workers=0 keeps the default)
+        prefetch=workers if workers > 0 else 2,
     )
     return dataset, loader, loader
 

@@ -43,6 +43,24 @@ def parse_config():
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--eval_after_train", action="store_true")
+    # --- reference-CLI compatibility (tools/train.py in rasd3/TODA) ---
+    parser.add_argument("--workers", type=int, default=0,
+                        help="loader prefetch depth (reference num_workers analog)")
+    parser.add_argument("--launcher", choices=["none", "pytorch", "slurm"],
+                        default="none",
+                        help="reference launcher names: slurm -> SLURM_* env init; "
+                             "pytorch -> coordinator env init")
+    parser.add_argument("--sync_bn", action="store_true",
+                        help="accepted for compatibility: global-batch (sync) BN "
+                             "statistics are ALWAYS on in this runtime")
+    parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
+                        help="accepted for compatibility: the persistent threaded "
+                             "loader never re-initializes between epochs")
+    parser.add_argument("--tcp_port", type=int, default=None,
+                        help="compat: folded into --coordinator_address")
+    parser.add_argument("--local_rank", type=int, default=None,
+                        help="compat: torch launchers inject this; process identity "
+                             "comes from --process_id / the SLURM env here")
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -53,6 +71,22 @@ def parse_config():
 
 def main():
     args, _ = parse_config()
+    if args.launcher == "slurm":
+        args.slurm = True
+    elif args.launcher == "pytorch" and args.coordinator_address is None:
+        # torchrun-style launch: derive the coordinator from MASTER_ADDR/PORT
+        # (reference init_dist_pytorch reads the same env), rank/world from
+        # RANK/WORLD_SIZE when --process_id/--num_processes are not given
+        import os
+
+        addr = os.environ.get("MASTER_ADDR")
+        port = args.tcp_port or os.environ.get("MASTER_PORT")
+        if addr and port:
+            args.coordinator_address = f"{addr}:{port}"
+        if args.num_processes is None and os.environ.get("WORLD_SIZE"):
+            args.num_processes = int(os.environ["WORLD_SIZE"])
+        if args.process_id is None and os.environ.get("RANK"):
+            args.process_id = int(os.environ["RANK"])
     if getattr(args, "slurm", False):
         from toda_tpu.parallel.mesh import init_dist_slurm
 
@@ -79,13 +113,17 @@ def main():
     log_file = output_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
     logger = common_utils.create_logger(log_file, rank=rank)
     logger.info("********** Start logging **********")
+    if args.sync_bn:
+        logger.info("--sync_bn: global-batch BN statistics are always on here")
+    if args.merge_all_iters_to_one_epoch:
+        logger.info("--merge_all_iters_to_one_epoch: no-op (persistent loader)")
     log_config_to_file(cfg, logger=logger)
     if rank == 0:
         shutil.copyfile(args.cfg_file, output_dir / Path(args.cfg_file).name)
 
     dataset, loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-        dist=dist, training=True, logger=logger,
+        dist=dist, training=True, logger=logger, workers=args.workers,
     )
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
     total_steps = len(loader) * epochs
