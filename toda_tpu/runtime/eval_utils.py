@@ -85,7 +85,7 @@ def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list,
 
 
 def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
-                   result_dir=None, predict_step=None):
+                   result_dir=None, predict_step=None, output_path=None):
     predict_step = predict_step or make_predict_step(bundle)
     thresh_list = bundle.post_cfg.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])
     det_annos = []
@@ -123,7 +123,9 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
                 for k in r:
                     recall[k] += r[k]
         det_annos.extend(
-            dataset.generate_prediction_dicts(batch, pred_dicts, class_names)
+            dataset.generate_prediction_dicts(
+                batch, pred_dicts, class_names, output_path=output_path
+            )
         )
     sec_per_ex = (time.time() - t0) / max(n_frames, 1)
 
