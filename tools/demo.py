@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--cfg_file", type=str, required=True)
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--data_path", type=str, default=None,
+                        help="raw point-cloud file or directory (reference "
+                             "DemoDataset): bypasses the config's dataset infos")
+    parser.add_argument("--ext", type=str, default=".bin", choices=[".bin", ".npy"],
+                        help="raw file format: KITTI float32 Nx4 .bin or .npy")
     parser.add_argument("--out", type=str, default="demo_bev.png")
     parser.add_argument("--view", type=str, default="bev", choices=["bev", "3d", "both"],
                         help="bev: rasterized top-down PNG; 3d: matplotlib 3D scene "
@@ -45,7 +50,27 @@ def main():
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False, logger=logger
     )
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
-    item = dataset[args.frame]
+    if args.data_path:
+        # reference tools/demo.py DemoDataset: run straight off raw scan files,
+        # routed through the SAME encoder/processor chain as the real adapters
+        from pathlib import Path
+
+        p = Path(args.data_path)
+        files = sorted(p.glob(f"*{args.ext}")) if p.is_dir() else [p]
+        f = files[args.frame if p.is_dir() else 0]
+        if f.suffix == ".bin":
+            pts = np.fromfile(f, dtype=np.float32).reshape(-1, 4)
+        else:
+            pts = np.load(f)
+        n_feat = len(dataset.point_feature_encoder.src_feature_list)
+        if pts.shape[1] < n_feat:  # pad missing feature columns (e.g. timestamp)
+            pts = np.concatenate(
+                [pts, np.zeros((len(pts), n_feat - pts.shape[1]), np.float32)], axis=1
+            )
+        item = dataset.prepare_data({"points": pts[:, :n_feat], "frame_id": f.stem})
+        logger.info("raw scan %s: %d points", f.name, len(pts))
+    else:
+        item = dataset[args.frame]
     batch = dataset.collate_batch([item])
     state, _ = create_train_state(bundle, cfg.OPTIMIZATION, 1, batch)
     if args.ckpt:
@@ -63,8 +88,11 @@ def main():
     logger.info("frame %d: %d detections", args.frame, m.sum())
 
     pts = batch["points"][0][batch["points_mask"][0]]
-    gt = batch["gt_boxes"][0]
-    gt = gt[gt[:, 7] > 0][:, :7] if gt.shape[1] > 7 else gt
+    if "gt_boxes" in batch:
+        gt = batch["gt_boxes"][0]
+        gt = gt[gt[:, 7] > 0][:, :7] if gt.shape[1] > 7 else gt
+    else:
+        gt = np.zeros((0, 7), np.float32)  # raw scans carry no annotations
     if args.view in ("bev", "both"):
         img = nuscene_vis(
             pts, boxes=gt, pred_boxes=dets["pred_boxes"][m][:, :7],
