@@ -242,3 +242,28 @@ def test_filter_min_points_boxes():
     # disabled filter keeps everything; empty points drops everything
     assert filter_min_points_boxes(boxes, points, 0).all()
     assert not filter_min_points_boxes(boxes, np.zeros((0, 3), np.float32), 5).any()
+
+
+def test_mixup_dataset_repeat_multiplies_epoch_length():
+    """cfg REPEAT (stage2 CLI --repeat) lengthens the pass over the GT∪pseudo
+    pool (reference nuscenes_mixup_adv_dataset.py:280-281)."""
+    pseudo = [
+        {"index": 0, "gt_boxes": np.zeros((1, 7), np.float32) + [1, 1, 0, 4, 2, 1.6, 0],
+         "gt_names": np.asarray(["car"]), "score": np.asarray([0.9])}
+    ]
+    mixup_cfg = tiny_dataset_cfg(seed=0)
+    mixup_cfg.DATASET = "MixUpDataset"
+    mixup_cfg.BASE_CFG = tiny_dataset_cfg(seed=0)
+    mixup_cfg.LABELED_INDICES = [0, 1]
+
+    plain, _, _ = build_mixup_dataloader(
+        mixup_cfg, CLASS_NAMES, batch_size=1, pseudo_infos=pseudo, training=True
+    )
+    assert len(plain) == 3  # 2 labeled + 1 pseudo
+
+    mixup_cfg.REPEAT = 5
+    repeated, _, _ = build_mixup_dataloader(
+        mixup_cfg, CLASS_NAMES, batch_size=1, pseudo_infos=pseudo, training=True
+    )
+    assert len(repeated) == 15
+    _ = repeated[14]  # tail indices are valid samples

@@ -177,9 +177,15 @@ class MixUpDataset(DatasetTemplate):
         self.collision_detection = bool(dataset_cfg.get("COLLISION_DETECTION", True))
         self.adv_alpha = float(dataset_cfg.get("ADV_ALPHA", 0.0))
         self.score_thresh = float(dataset_cfg.get("PSEUDO_SCORE_THRESH", 0.0))
+        # epoch-length multiplier for small labeled-percentage target pools
+        # (reference nuscenes_mixup_adv_dataset.py:280-281, cfg REPEAT /
+        # stage2 CLI --repeat); samples are drawn randomly so this only
+        # lengthens the pass over the pool
+        self.repeat = int(dataset_cfg.get("REPEAT", 0))
 
     def __len__(self):
-        return len(self.labeled_indices) + len(self.pseudo_infos)
+        n = len(self.labeled_indices) + len(self.pseudo_infos)
+        return n * self.repeat if self.repeat else n
 
     def _gt_sample(self, rng):
         idx = self.labeled_indices[rng.randint(len(self.labeled_indices))]

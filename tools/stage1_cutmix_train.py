@@ -13,7 +13,7 @@ import _init_path  # noqa: F401
 from toda_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
 from toda_tpu.datasets import build_cutmix_dataloader
 from toda_tpu.models import build_network
-from toda_tpu.parallel import get_dist_info, init_distributed
+from toda_tpu.parallel import get_dist_info
 from toda_tpu.runtime import checkpoint as ckpt_lib
 from toda_tpu.runtime.train_utils import create_train_state, train_model
 from toda_tpu.utils import common_utils
@@ -30,12 +30,15 @@ def main():
     parser.add_argument("--skip_eval", action="store_true",
                         help="skip the post-training target-domain eval")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    from cli_args import add_common_train_args, init_from_args, log_compat_notes
+
+    add_common_train_args(parser)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)
 
-    init_distributed()
+    init_from_args(args)
     rank, world = get_dist_info()
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
@@ -49,10 +52,11 @@ def main():
         output_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt", rank=rank
     )
     log_config_to_file(cfg, logger=logger)
+    log_compat_notes(args, logger)
 
     dataset, loader, _ = build_cutmix_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-        dist=world > 1, training=True, logger=logger,
+        dist=world > 1, training=True, logger=logger, workers=args.workers,
     )
     # stage 1 trains the unified-class detector (reference forces num_class=1
     # via the car-class remap, stage1_cutmix_train.py:115)
@@ -64,7 +68,7 @@ def main():
     )
     if args.pretrained_model:
         state = ckpt_lib.load_params_only(args.pretrained_model, state)
-    resume = ckpt_lib.latest_checkpoint(ckpt_dir)
+    resume = args.ckpt or ckpt_lib.latest_checkpoint(ckpt_dir)
     start_epoch = 0
     if resume:
         state, start_epoch = ckpt_lib.load_checkpoint(resume, state)
@@ -72,6 +76,8 @@ def main():
     state = train_model(
         bundle, state, loader, cfg.OPTIMIZATION, start_epoch=start_epoch,
         total_epochs=epochs, ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
     )
     logger.info("stage-1 training done")
 

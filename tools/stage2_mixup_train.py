@@ -29,7 +29,13 @@ def parse_args():
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--skip_eval", action="store_true",
                         help="skip the post-training target-domain eval")
+    parser.add_argument("--repeat", type=int, default=0,
+                        help="epoch-length multiplier over the GT∪pseudo pool "
+                             "(reference --repeat -> DATA_CONFIG.REPEAT)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    from cli_args import add_common_train_args
+
+    add_common_train_args(parser)
     return parser.parse_args()
 
 
@@ -37,6 +43,8 @@ def setup(args):
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)
+    if getattr(args, "repeat", 0):
+        cfg.DATA_CONFIG.REPEAT = args.repeat
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
     output_dir = cfg.ROOT_DIR / "output" / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
@@ -57,6 +65,7 @@ def main():
     dataset, loader, _ = build_mixup_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
         pseudo_infos=args.pseudo_info_path, training=True, logger=logger,
+        workers=args.workers,
     )
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
     example = next(iter(loader))
@@ -64,10 +73,17 @@ def main():
     if args.pretrained_model:
         state = ckpt_lib.load_params_only(args.pretrained_model, state)
         logger.info("transferred stage-1 weights from %s", args.pretrained_model)
+    start_epoch = 0
+    resume = args.ckpt or ckpt_lib.latest_checkpoint(ckpt_dir)
+    if resume:
+        state, start_epoch = ckpt_lib.load_checkpoint(resume, state)
+        logger.info("resumed from %s (epoch %d)", resume, start_epoch)
 
     state = train_model(
-        bundle, state, loader, cfg.OPTIMIZATION, start_epoch=0, total_epochs=epochs,
-        ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
+        bundle, state, loader, cfg.OPTIMIZATION, start_epoch=start_epoch,
+        total_epochs=epochs, ckpt_save_dir=ckpt_dir, schedule=schedule, logger=logger,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
     )
     logger.info("stage-2 training done")
 

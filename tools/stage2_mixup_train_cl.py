@@ -37,11 +37,19 @@ def main():
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--skip_eval", action="store_true",
                         help="skip the post-training target-domain eval")
+    parser.add_argument("--repeat", type=int, default=0,
+                        help="epoch-length multiplier over the GT∪pseudo pool "
+                             "(reference --repeat -> DATA_CONFIG.REPEAT)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    from cli_args import add_common_train_args, log_compat_notes
+
+    add_common_train_args(parser)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)
+    if args.repeat:
+        cfg.DATA_CONFIG.REPEAT = args.repeat
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
 
@@ -59,9 +67,11 @@ def main():
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
         pseudo_infos=args.pseudo_info_path, training=True, logger=logger,
     )
+    log_compat_notes(args, logger)
     cl_cfg = cfg.MODEL.get("CL_CFG", {})
     dataset = CLPairDataset(base_ds)
-    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, drop_last=True)
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, drop_last=True,
+                        prefetch=args.workers if args.workers > 0 else 2)
 
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
     example = next(iter(loader))
@@ -72,15 +82,20 @@ def main():
     if args.pretrained_model:
         state = ckpt_lib.load_params_only(args.pretrained_model, state)
         logger.info("transferred stage-1 weights from %s", args.pretrained_model)
+    start_epoch = 0
+    resume = args.ckpt or ckpt_lib.latest_checkpoint(ckpt_dir)
+    if resume:
+        state, start_epoch = ckpt_lib.load_checkpoint(resume, state)
+        logger.info("resumed from %s (epoch %d)", resume, start_epoch)
 
     step = make_train_step_cl(
         bundle,
         consistency_weight=float(cl_cfg.get("WEIGHT", 0.1)),
         score_thresh=float(cl_cfg.get("SCORE_THRESH", 0.3)),
     )
-    it = 0
     total_its = len(loader) * epochs
-    for epoch in range(epochs):
+    it = start_epoch * len(loader)
+    for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         for batch in loader:

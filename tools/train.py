@@ -19,7 +19,7 @@ import numpy as np
 from toda_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
 from toda_tpu.datasets import build_dataloader
 from toda_tpu.models import build_network
-from toda_tpu.parallel import get_dist_info, init_distributed
+from toda_tpu.parallel import get_dist_info
 from toda_tpu.runtime import checkpoint as ckpt_lib
 from toda_tpu.runtime.train_utils import create_train_state, train_model
 from toda_tpu.utils import common_utils
@@ -31,36 +31,14 @@ def parse_config():
     parser.add_argument("--batch_size", type=int, default=None, help="global batch size")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--extra_tag", type=str, default="default")
-    parser.add_argument("--ckpt", type=str, default=None, help="resume checkpoint")
     parser.add_argument("--pretrained_model", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true")
-    parser.add_argument("--ckpt_save_interval", type=int, default=1)
-    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
-    parser.add_argument("--coordinator_address", type=str, default=None)
-    parser.add_argument("--slurm", action="store_true",
-                        help="derive the process group from SLURM_* env")
-    parser.add_argument("--num_processes", type=int, default=None)
-    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--eval_after_train", action="store_true")
-    # --- reference-CLI compatibility (tools/train.py in rasd3/TODA) ---
-    parser.add_argument("--workers", type=int, default=0,
-                        help="loader prefetch depth (reference num_workers analog)")
-    parser.add_argument("--launcher", choices=["none", "pytorch", "slurm"],
-                        default="none",
-                        help="reference launcher names: slurm -> SLURM_* env init; "
-                             "pytorch -> coordinator env init")
-    parser.add_argument("--sync_bn", action="store_true",
-                        help="accepted for compatibility: global-batch (sync) BN "
-                             "statistics are ALWAYS on in this runtime")
-    parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
-                        help="accepted for compatibility: the persistent threaded "
-                             "loader never re-initializes between epochs")
-    parser.add_argument("--tcp_port", type=int, default=None,
-                        help="compat: folded into --coordinator_address")
-    parser.add_argument("--local_rank", type=int, default=None,
-                        help="compat: torch launchers inject this; process identity "
-                             "comes from --process_id / the SLURM env here")
+    # reference-CLI compatibility flags shared by every training driver
+    from cli_args import add_common_train_args
+
+    add_common_train_args(parser)
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -71,28 +49,9 @@ def parse_config():
 
 def main():
     args, _ = parse_config()
-    if args.launcher == "slurm":
-        args.slurm = True
-    elif args.launcher == "pytorch" and args.coordinator_address is None:
-        # torchrun-style launch: derive the coordinator from MASTER_ADDR/PORT
-        # (reference init_dist_pytorch reads the same env), rank/world from
-        # RANK/WORLD_SIZE when --process_id/--num_processes are not given
-        import os
+    from cli_args import init_from_args
 
-        addr = os.environ.get("MASTER_ADDR")
-        port = args.tcp_port or os.environ.get("MASTER_PORT")
-        if addr and port:
-            args.coordinator_address = f"{addr}:{port}"
-        if args.num_processes is None and os.environ.get("WORLD_SIZE"):
-            args.num_processes = int(os.environ["WORLD_SIZE"])
-        if args.process_id is None and os.environ.get("RANK"):
-            args.process_id = int(os.environ["RANK"])
-    if getattr(args, "slurm", False):
-        from toda_tpu.parallel.mesh import init_dist_slurm
-
-        init_dist_slurm()
-    else:
-        init_distributed(args.coordinator_address, args.num_processes, args.process_id)
+    init_from_args(args)
     rank, world = get_dist_info()
     dist = world > 1
 
@@ -113,10 +72,9 @@ def main():
     log_file = output_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
     logger = common_utils.create_logger(log_file, rank=rank)
     logger.info("********** Start logging **********")
-    if args.sync_bn:
-        logger.info("--sync_bn: global-batch BN statistics are always on here")
-    if args.merge_all_iters_to_one_epoch:
-        logger.info("--merge_all_iters_to_one_epoch: no-op (persistent loader)")
+    from cli_args import log_compat_notes
+
+    log_compat_notes(args, logger)
     log_config_to_file(cfg, logger=logger)
     if rank == 0:
         shutil.copyfile(args.cfg_file, output_dir / Path(args.cfg_file).name)
