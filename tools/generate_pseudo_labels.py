@@ -37,6 +37,8 @@ def main():
                         help="drop pseudo boxes with fewer interior points "
                              "(reference filtering_min_points_box)")
     parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=0,
+                        help="loader prefetch depth (reference num_workers analog)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -52,7 +54,7 @@ def main():
     data_cfg = cfg.get("UNLABEL_DATA_CONFIG", cfg.DATA_CONFIG)
     dataset, loader, _ = build_dataloader(
         data_cfg, cfg.CLASS_NAMES, batch_size=args.batch_size or 2,
-        training=False, logger=logger,
+        training=False, logger=logger, workers=args.workers,
     )
     bundle = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
     example = next(iter(loader))
