@@ -155,3 +155,41 @@ def test_scalar_writer_jsonl_and_default(tmp_path):
     d.flush()
     assert any((tmp_path / "tb").iterdir())
     d.close()
+
+
+def test_cli_launcher_env_mapping(monkeypatch):
+    """--launcher pytorch maps torchrun env (MASTER_ADDR/PORT, RANK/WORLD_SIZE)
+    onto the jax.distributed coordinator inputs; slurm sets the slurm path."""
+    import argparse
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from cli_args import add_common_train_args, resolve_launcher
+
+    def parse(argv):
+        p = argparse.ArgumentParser()
+        add_common_train_args(p)
+        return p.parse_args(argv)
+
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.7")
+    monkeypatch.setenv("MASTER_PORT", "29500")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("RANK", "2")
+    args = resolve_launcher(parse(["--launcher", "pytorch"]))
+    assert args.coordinator_address == "10.0.0.7:29500"
+    assert args.num_processes == 4 and args.process_id == 2
+
+    # explicit flags win over env
+    args = resolve_launcher(parse(
+        ["--launcher", "pytorch", "--coordinator_address", "h:1",
+         "--num_processes", "2", "--process_id", "1"]))
+    assert args.coordinator_address == "h:1"
+    assert args.num_processes == 2 and args.process_id == 1
+
+    # --tcp_port overrides MASTER_PORT (reference flag precedence)
+    args = resolve_launcher(parse(["--launcher", "pytorch", "--tcp_port", "18888"]))
+    assert args.coordinator_address == "10.0.0.7:18888"
+
+    args = resolve_launcher(parse(["--launcher", "slurm"]))
+    assert args.slurm
