@@ -35,6 +35,9 @@ def parse_config():
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     parser.add_argument("--eval_after_train", action="store_true")
+    parser.add_argument("--num_epochs_to_eval", type=int, default=0,
+                        help="also evaluate the last N saved checkpoints after "
+                             "training (reference train.py post-train eval)")
     # reference-CLI compatibility flags shared by every training driver
     from cli_args import add_common_train_args
 
@@ -116,6 +119,18 @@ def main():
     if tb_log is not None:
         tb_log.flush()
     logger.info("********** Training done **********")
+
+    if args.num_epochs_to_eval > 0:
+        # reference train.py tail: repeat_eval_ckpt over the last N checkpoints
+        from toda_tpu.runtime.eval_utils import evaluate_target_domain
+
+        for c in common_utils.scan_dir_for_ckpts(ckpt_dir)[-args.num_epochs_to_eval:]:
+            eval_state, ep = ckpt_lib.load_checkpoint(str(c), state)
+            result, _ = evaluate_target_domain(
+                cfg, eval_state, batch_size, logger=logger,
+                result_dir=output_dir / "eval" / f"epoch_{ep}", dist=dist,
+            )
+            logger.info("post-train eval epoch %d: %s", ep, result)
 
     if args.eval_after_train:
         # stage configs carry a target-domain DATA_CONFIG_TEST distinct from the
