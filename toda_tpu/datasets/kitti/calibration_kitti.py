@@ -61,9 +61,15 @@ class Calibration:
         return (self._rect_to_lidar_mat() @ hom.T).T[:, :3]
 
     def rect_to_img(self, pts_rect):
-        """(N, 3) rect -> ((N, 2) pixels, (N,) rect depth)."""
-        hom = self._hom(np.asarray(pts_rect, np.float32)) @ self.P2.T  # (N, 3)
-        img = hom[:, :2] / hom[:, 2:3]
+        """(N, 3) rect -> ((N, 2) pixels, (N,) rect depth).
+
+        Divides by the *rect* z (not the projected homogeneous w) — the
+        reference convention (calibration_kitti.py:82, pts_rect_hom[:, 2]);
+        the two differ by P2[2, 3] (~1e-3), up to ~1 px near the camera.
+        """
+        pts_rect = np.asarray(pts_rect, np.float32)
+        hom = self._hom(pts_rect) @ self.P2.T  # (N, 3)
+        img = hom[:, :2] / pts_rect[:, 2:3]
         depth = hom[:, 2] - self.P2[2, 3]
         return img, depth
 

@@ -42,7 +42,9 @@ class ResidualCoder:
             ]
         else:
             rt = [boxes[..., 6] - anchors[..., 6]]
-        cts = [boxes[..., i] for i in range(7, boxes.shape[-1])]
+        # extra channels (e.g. velocity) encode as residuals vs the anchor,
+        # matching reference encode_torch's `cts = [g - a ...]`
+        cts = [boxes[..., i] - anchors[..., i] for i in range(7, boxes.shape[-1])]
         return jnp.stack([xt, yt, zt, dxt, dyt, dzt, *rt, *cts], axis=-1)
 
     def decode(self, encodings, anchors):
@@ -77,13 +79,15 @@ class PreviousResidualDecoder:
 
     @staticmethod
     def decode(box_encodings, anchors):
+        # legacy encoding order is (x, y, z, w, l, h, r): w pairs with dy (width),
+        # l with dx (length) — reference decode_torch uses exp(lt)*dxa / exp(wt)*dya
         dxa, dya, dza = anchors[..., 3], anchors[..., 4], anchors[..., 5]
         diag = jnp.sqrt(dxa**2 + dya**2)
         xg = box_encodings[..., 0] * diag + anchors[..., 0]
         yg = box_encodings[..., 1] * diag + anchors[..., 1]
         zg = box_encodings[..., 2] * dza + anchors[..., 2]
-        dxg = jnp.exp(box_encodings[..., 3]) * dxa
-        dyg = jnp.exp(box_encodings[..., 4]) * dya
+        dxg = jnp.exp(box_encodings[..., 4]) * dxa
+        dyg = jnp.exp(box_encodings[..., 3]) * dya
         dzg = jnp.exp(box_encodings[..., 5]) * dza
         rg = box_encodings[..., 6] + anchors[..., 6]
         cgs = [box_encodings[..., i] for i in range(7, box_encodings.shape[-1])]

@@ -29,8 +29,8 @@ def boxes_to_corners_3d(boxes3d):
     template = (
         np.array(
             [
-                [1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
-                [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1],
+                [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+                [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
             ],
             dtype=np.float32,
         )
@@ -247,9 +247,15 @@ def boxes3d_to_corners3d_kitti_camera(boxes3d):
 
 
 def boxes3d_kitti_camera_to_imageboxes(boxes3d_camera, calib, image_shape=None):
-    """(N, 7) camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes."""
+    """(N, 7) camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes.
+
+    Projects via calib.rect_to_img (divide-by-rect-z), matching the reference
+    path (box_utils.py:226-246), not corners3d_to_img_boxes' homogeneous w.
+    """
     corners = boxes3d_to_corners3d_kitti_camera(boxes3d_camera)
-    boxes2d, _ = calib.corners3d_to_img_boxes(corners)
+    pts_img, _ = calib.rect_to_img(corners.reshape(-1, 3))
+    xy = pts_img.reshape(-1, 8, 2)
+    boxes2d = np.concatenate([xy.min(axis=1), xy.max(axis=1)], axis=1)
     if image_shape is not None:
         boxes2d[:, [0, 2]] = np.clip(boxes2d[:, [0, 2]], 0, image_shape[1] - 1)
         boxes2d[:, [1, 3]] = np.clip(boxes2d[:, [1, 3]], 0, image_shape[0] - 1)

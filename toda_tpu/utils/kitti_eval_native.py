@@ -79,6 +79,7 @@ def clean_frame(gt, dt, cls_name, difficulty):
     Returns (num_valid_gt, ignored_gt (G,), ignored_dt (D,), dc_bboxes).
     ignored codes: 0 counted, 1 ignored-but-absorbing, -1 excluded.
     """
+    cls_name = str(cls_name).lower()
     gt_names = np.asarray([str(s).lower() for s in gt["name"]])
     num_gt = len(gt_names)
     bbox = np.asarray(gt.get("bbox", np.zeros((num_gt, 4), np.float32))).reshape(-1, 4)
