@@ -100,6 +100,17 @@ def setup():
 
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the reference predates numpy 1.24's removal of the np.bool/np.float
+    # aliases (e.g. augmentor_utils.points_in_pyramids_mask uses np.bool)
+    import numpy as np
+
+    import warnings
+
+    for alias, real in (("bool", bool), ("float", float), ("int", int)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            if not hasattr(np, alias):
+                setattr(np, alias, real)
     if "SharedArray" not in sys.modules:
         sys.modules["SharedArray"] = types.ModuleType("SharedArray")
     if "numba" not in sys.modules:

@@ -272,9 +272,9 @@ def test_random_local_frustum_dropout():
     ], np.float32)
     # replay intensity 0.5 -> threshold z >= (1 - 0.5*2) = 0.0 dropped
     _, out, used, keep = au.random_local_frustum_dropout(
-        boxes, pts, params=("top", [0.5])
+        boxes, pts, directions=("top",), params=[[0.5]]
     )
-    assert used == ("top", [0.5])
+    assert used == [[0.5]]
     np.testing.assert_array_equal(keep, [True, False, False, True])
     assert len(out) == 2
 
@@ -282,8 +282,10 @@ def test_random_local_frustum_dropout():
     gt, out2, used2, _ = au.random_local_frustum_dropout(
         boxes, pts, intensity_range=(0.1, 0.3), directions=("bottom",)
     )
-    assert used2[0] == "bottom" and 0.1 <= used2[1][0] <= 0.3
-    _, out3, _, _ = au.random_local_frustum_dropout(boxes, pts, params=used2)
+    assert 0.1 <= used2[0][0] <= 0.3
+    _, out3, _, _ = au.random_local_frustum_dropout(
+        boxes, pts, directions=("bottom",), params=used2
+    )
     np.testing.assert_allclose(out2, out3)
 
 
@@ -306,9 +308,12 @@ def test_pyramid_helpers_and_augs():
     m = au.points_in_pyramids_mask(probe, pyr[0])
     assert m.sum() == 1
 
-    # in-box points union over the 6 pyramids == points in the box
+    # in-box points union over the 6 pyramids == points strictly in the box
+    # (get_points_in_box now carries the reference's 0.1 m x/y margin, so
+    # compare against the unmargined membership)
+    from toda_tpu.utils import box_utils as bu
     pts = rng.uniform(-3, 3, size=(500, 4)).astype(np.float32)
-    inbox, mask = au.get_points_in_box(pts, boxes[0])
+    mask = bu.points_in_boxes_numpy(pts, boxes[:1, :7])[0]
     m_all = au.points_in_pyramids_mask(pts, pyr[0])
     np.testing.assert_array_equal(m_all.any(-1), mask)
 

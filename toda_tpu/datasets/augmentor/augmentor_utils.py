@@ -104,7 +104,7 @@ def random_local_rotation(gt_boxes, points, rot_range, params=None):
     )
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])
+    member = _members_with_margin(points, gt_boxes[:, :7])
     for j in range(m):
         sel = member[j]
         c, s = np.cos(angles[j]), np.sin(angles[j])
@@ -128,7 +128,7 @@ def random_local_scaling(gt_boxes, points, scale_range, params=None):
     )
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])
+    member = _members_with_margin(points, gt_boxes[:, :7])
     for j in range(m):
         sel = member[j]
         points[sel, :3] = (points[sel, :3] - gt_boxes[j, :3]) * scales[j] + gt_boxes[j, :3]
@@ -137,65 +137,78 @@ def random_local_scaling(gt_boxes, points, scale_range, params=None):
 
 
 def random_world_frustum_dropout(gt_boxes, points, intensity_range=(0.2, 0.7),
-                                 direction_range=(-np.pi, np.pi), params=None):
-    """Drop all points inside a random azimuth frustum (sensor-occlusion sim).
+                                 directions=("top",), params=None):
+    """Global slab dropout off the cloud's extremes, one slab per configured
+    direction (z-axis for top/bottom, y-axis for left/right), applied
+    sequentially — later slabs see the already-thinned cloud.
 
-    Reference: augmentor_utils random_world_frustum_dropout_* family, collapsed
-    to the azimuth variant. params: (direction, half_width).
+    Reference: augmentor_utils.global_frustum_dropout_{top,bottom,left,right}
+    (:244-311), driven per DIRECTION entry by data_augmentor.py:167-184.
+    params: [intensity per direction]. Returns (boxes, points, used, box_keep)
+    with box_keep indexed over the input boxes.
     """
     if params is None:
-        direction = np.random.uniform(*direction_range)
-        half = np.random.uniform(*intensity_range) / 2.0
+        intensities = np.random.uniform(*intensity_range, size=len(directions))
     else:
-        direction, half = params
-    ang = np.arctan2(points[:, 1], points[:, 0])
-    rel = (ang - direction + np.pi) % (2 * np.pi) - np.pi
-    keep = np.abs(rel) > half
-    if len(gt_boxes):
-        bang = np.arctan2(gt_boxes[:, 1], gt_boxes[:, 0])
-        brel = (bang - direction + np.pi) % (2 * np.pi) - np.pi
-        box_keep = np.abs(brel) > half
-    else:
-        box_keep = np.ones(0, bool)
-    return gt_boxes[box_keep], points[keep], (float(direction), float(half)), box_keep
+        intensities = np.asarray(params, dtype=np.float64)
+    box_keep = np.ones(len(gt_boxes), bool)
+    cur_boxes = gt_boxes
+    for d, inten in zip(directions, intensities):
+        if len(points) == 0:
+            break
+        axis = 2 if d in ("top", "bottom") else 1
+        lo, hi = points[:, axis].min(), points[:, axis].max()
+        if d in ("top", "left"):
+            thr = hi - inten * (hi - lo)
+            pkeep = points[:, axis] < thr
+            bkeep = cur_boxes[:, axis] < thr
+        else:  # bottom / right
+            thr = lo + inten * (hi - lo)
+            pkeep = points[:, axis] > thr
+            bkeep = cur_boxes[:, axis] > thr
+        points = points[pkeep]
+        box_keep[np.flatnonzero(box_keep)[~bkeep]] = False
+        cur_boxes = cur_boxes[bkeep]
+    return cur_boxes, points, intensities.tolist(), box_keep
 
 
 def random_local_frustum_dropout(gt_boxes, points, intensity_range=(0.2, 0.7),
                                  directions=("top",), params=None):
     """Per-box slab dropout: for every gt box, drop the points inside it that
-    fall in a slab of random thickness off one face.
+    fall in a slab of random thickness off one face; every configured
+    direction is applied in turn (fresh per-box intensities each).
 
     Reference: augmentor_utils.local_frustum_dropout_{top,bottom,left,right}
     (:394-473) — global-axis slabs (z for top/bottom, y for left/right; the
     reference ignores heading for left/right, preserved here), one random
-    intensity per box. params: (direction, [intensity per box]).
+    intensity per box per direction (data_augmentor.py:186-202).
+    params: [[intensity per box] per direction].
     """
     m = len(gt_boxes)
     if params is None:
-        direction = directions[np.random.randint(len(directions))]
-        intensities = np.random.uniform(*intensity_range, size=m)
+        per_dir = [np.random.uniform(*intensity_range, size=m) for _ in directions]
     else:
-        direction, intensities = params
-        intensities = np.asarray(intensities, dtype=np.float64)
+        per_dir = [np.asarray(p, dtype=np.float64) for p in params]
     if m == 0:
-        return gt_boxes, points, (direction, []), np.ones(len(points), bool)
+        return gt_boxes, points, [p.tolist() for p in per_dir], np.ones(len(points), bool)
 
     from ...utils import box_utils
 
-    member = box_utils.points_in_boxes_numpy(points, gt_boxes[:, :7])  # (m, n)
+    keep = np.ones(len(points), bool)
     z, dz = gt_boxes[:, 2], gt_boxes[:, 5]
     y, dy = gt_boxes[:, 1], gt_boxes[:, 4]
-    x, dx = gt_boxes[:, 0], gt_boxes[:, 3]
-    if direction == "top":
-        drop = member & (points[None, :, 2] >= (z + dz / 2 - intensities * dz)[:, None])
-    elif direction == "bottom":
-        drop = member & (points[None, :, 2] <= (z - dz / 2 + intensities * dz)[:, None])
-    elif direction == "left":
-        drop = member & (points[None, :, 1] >= (y + dy / 2 - intensities * dy)[:, None])
-    else:  # right
-        drop = member & (points[None, :, 1] <= (y - dy / 2 + intensities * dy)[:, None])
-    keep = ~drop.any(axis=0)
-    return gt_boxes, points[keep], (direction, intensities.tolist()), keep
+    member = _members_with_margin(points, gt_boxes[:, :7])  # (m, n)
+    for direction, intensities in zip(directions, per_dir):
+        if direction == "top":
+            drop = member & (points[None, :, 2] >= (z + dz / 2 - intensities * dz)[:, None])
+        elif direction == "bottom":
+            drop = member & (points[None, :, 2] <= (z - dz / 2 + intensities * dz)[:, None])
+        elif direction == "left":
+            drop = member & (points[None, :, 1] >= (y + dy / 2 - intensities * dy)[:, None])
+        else:  # right
+            drop = member & (points[None, :, 1] <= (y - dy / 2 + intensities * dy)[:, None])
+        keep &= ~drop.any(axis=0)
+    return gt_boxes, points[keep], [p.tolist() for p in per_dir], keep
 
 
 def reverse_boxes_transform(boxes, aug_params):
@@ -234,17 +247,31 @@ def reverse_boxes_transform(boxes, aug_params):
 
 
 def get_points_in_box(points, box):
-    """Mask of points inside one 7-dof box (local-frame extent check)."""
-    shift = points[:, :3] - box[:3]
-    c, s = np.cos(-box[6]), np.sin(-box[6])
-    lx = shift[:, 0] * c - shift[:, 1] * s
-    ly = shift[:, 0] * s + shift[:, 1] * c
-    mask = (
-        (np.abs(lx) <= box[3] / 2)
-        & (np.abs(ly) <= box[4] / 2)
-        & (np.abs(shift[:, 2]) <= box[5] / 2)
-    )
+    """Mask of points inside one 7-dof box (local-frame extent check).
+
+    Matches the reference's get_points_in_box (augmentor_utils.py:474-492)
+    including its 0.1 m x/y MARGIN (z has no margin)."""
+    mask = _members_with_margin(points, box[None, :7])[0]
     return points[mask], mask
+
+
+def _members_with_margin(points, boxes, margin=1e-1):
+    """(P, 3+) x (M, 7) -> (M, P) membership with the reference augmentor's
+    x/y margin (augmentor_utils.py:480 MARGIN = 1e-1)."""
+    points = np.asarray(points)[:, :3]
+    boxes = np.asarray(boxes)
+    if len(boxes) == 0 or len(points) == 0:
+        return np.zeros((len(boxes), len(points)), dtype=bool)
+    shifted = points[None, :, :] - boxes[:, None, 0:3]
+    cosa = np.cos(-boxes[:, 6])[:, None]
+    sina = np.sin(-boxes[:, 6])[:, None]
+    local_x = shifted[..., 0] * cosa - shifted[..., 1] * sina
+    local_y = shifted[..., 0] * sina + shifted[..., 1] * cosa
+    return (
+        (np.abs(local_x) <= boxes[:, None, 3] / 2.0 + margin)
+        & (np.abs(local_y) <= boxes[:, None, 4] / 2.0 + margin)
+        & (np.abs(shifted[..., 2]) <= boxes[:, None, 5] / 2.0)
+    )
 
 
 def _random_local_translation(gt_boxes, points, offset_range, axis, params=None):

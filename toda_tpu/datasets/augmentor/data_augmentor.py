@@ -153,6 +153,7 @@ class DataAugmentor:
             data_dict.get("gt_boxes", np.zeros((0, 7), np.float32)),
             data_dict["points"],
             intensity_range=tuple(config.get("INTENSITY_RANGE", (0.2, 0.7))),
+            directions=tuple(config.get("DIRECTION", ("top",))),
             params=self._replay_param(data_dict, "random_world_frustum_dropout"),
         )
         self._record(data_dict, "random_world_frustum_dropout", used)
