@@ -1,0 +1,371 @@
+"""A/B parity against the reference's model-side target machinery.
+
+Covers:
+  - AxisAlignedTargetAssigner (full assign_targets, no CUDA dependency:
+    match_height=False uses the pure-torch nearest-BEV IoU)
+  - ProposalTargetLayer via RoIHeadTemplate.assign_targets: IoU-with-same-class
+    matching (shared CPU 3D-IoU primitive injected into the reference — the
+    primitive itself is pinned analytically in tests/test_ops_geometry.py),
+    the canonical gt-of-rois transform, and the roi_iou soft-label formula.
+    The fg/bg subsampling itself is stochastic on both sides; tests assert the
+    deterministic functions of the sample instead of the sample.
+  - CenterHead target assignment (heatmap splat, inds/mask/box targets)
+    against assign_target_of_single_head.
+
+Reference files: pcdet/models/dense_heads/target_assigner/axis_aligned_target_assigner.py,
+pcdet/models/roi_heads/target_assigner/proposal_target_layer.py,
+pcdet/models/roi_heads/roi_head_template.py:104-137,
+pcdet/models/dense_heads/center_head.py:103-158.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import reference_shim  # noqa: E402
+
+reference_shim.setup()
+
+import jax.numpy as jnp  # noqa: E402
+
+from toda_tpu.config import EDict  # noqa: E402
+from toda_tpu.models.dense_heads.target_assigner.axis_aligned_target_assigner import (  # noqa: E402
+    AxisAlignedTargetAssigner as MyAssigner,
+)
+from toda_tpu.models.roi_heads import roi_utils as my_roi  # noqa: E402
+from toda_tpu.utils import box_utils as my_box  # noqa: E402
+from toda_tpu.utils.box_coder_utils import ResidualCoder as MyCoder  # noqa: E402
+
+ref_assigner_mod = reference_shim.load(
+    "pcdet.models.dense_heads.target_assigner.axis_aligned_target_assigner"
+)
+ref_ptl_mod = reference_shim.load(
+    "pcdet.models.roi_heads.target_assigner.proposal_target_layer"
+)
+ref_center_mod = reference_shim.load("pcdet.models.dense_heads.center_head")
+ref_coders = reference_shim.load("pcdet.utils.box_coder_utils")
+
+
+def cpu_boxes_iou3d(boxes_a, boxes_b):
+    """CPU 3D IoU (rotated BEV intersection x z-overlap / volume union) used as
+    the shared primitive for both sides of the ProposalTargetLayer A/B."""
+    a = boxes_a.detach().numpy() if torch.is_tensor(boxes_a) else np.asarray(boxes_a)
+    b = boxes_b.detach().numpy() if torch.is_tensor(boxes_b) else np.asarray(boxes_b)
+    bev = np.zeros((len(a), len(b)), np.float32)
+    ca = my_box.corners_bev(a.astype(np.float64))
+    cb = my_box.corners_bev(b.astype(np.float64))
+    for i in range(len(a)):
+        for j in range(len(b)):
+            bev[i, j] = my_box._poly_area(my_box._polygon_clip(ca[i], cb[j]))
+    za1, za2 = a[:, 2] - a[:, 5] / 2, a[:, 2] + a[:, 5] / 2
+    zb1, zb2 = b[:, 2] - b[:, 5] / 2, b[:, 2] + b[:, 5] / 2
+    zo = np.clip(
+        np.minimum(za2[:, None], zb2[None, :]) - np.maximum(za1[:, None], zb1[None, :]),
+        0, None,
+    )
+    inter = bev * zo
+    vol_a = (a[:, 3] * a[:, 4] * a[:, 5])[:, None]
+    vol_b = (b[:, 3] * b[:, 4] * b[:, 5])[None, :]
+    return torch.from_numpy(inter / np.clip(vol_a + vol_b - inter, 1e-6, None))
+
+
+# ---------------------------------------------------------------------------
+# AxisAlignedTargetAssigner
+# ---------------------------------------------------------------------------
+
+
+def _make_anchor_grid(ny, nx, size, z, rotations):
+    xs = (np.arange(nx) + 0.5) * (80.0 / nx) - 40.0
+    ys = (np.arange(ny) + 0.5) * (80.0 / ny) - 40.0
+    out = np.zeros((ny, nx, 1, 1, len(rotations), 7), np.float32)
+    for iy in range(ny):
+        for ix in range(nx):
+            for ir, rot in enumerate(rotations):
+                out[iy, ix, 0, 0, ir] = [xs[ix], ys[iy], z, *size, rot]
+    return out
+
+
+def test_axis_aligned_assigner_matches_reference():
+    class_names = ["Car", "Pedestrian"]
+    anchor_gen_cfg = [
+        {"class_name": "Car", "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+        {"class_name": "Pedestrian", "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+    ]
+    model_cfg = EDict(
+        {
+            "ANCHOR_GENERATOR_CONFIG": anchor_gen_cfg,
+            "TARGET_ASSIGNER_CONFIG": EDict(
+                {
+                    "POS_FRACTION": -1.0,
+                    "SAMPLE_SIZE": 512,
+                    "NORM_BY_NUM_EXAMPLES": False,
+                    "MATCH_HEIGHT": False,
+                }
+            ),
+        }
+    )
+    coder_ref = ref_coders.ResidualCoder(code_size=7)
+    ref = ref_assigner_mod.AxisAlignedTargetAssigner(
+        model_cfg, class_names, coder_ref, match_height=False
+    )
+
+    ny = nx = 12
+    car_anchors = _make_anchor_grid(ny, nx, (3.9, 1.6, 1.56), -1.0, (0.0, np.pi / 2))
+    ped_anchors = _make_anchor_grid(ny, nx, (0.8, 0.6, 1.73), -0.6, (0.0, np.pi / 2))
+    all_anchors_t = [torch.from_numpy(car_anchors), torch.from_numpy(ped_anchors)]
+
+    # our flattened layout must match the reference's cat-along-last-anchor-dim:
+    # per cell [car_rot0, car_rot1, ped_rot0, ped_rot1]
+    flat = np.concatenate(
+        [car_anchors.reshape(ny, nx, -1, 7), ped_anchors.reshape(ny, nx, -1, 7)], axis=2
+    ).reshape(-1, 7)
+    classes = np.concatenate(
+        [np.full(2, 1, np.int32), np.full(2, 2, np.int32)]
+    )
+    classes = np.tile(classes, ny * nx)
+    matched = np.tile(np.array([0.6, 0.6, 0.5, 0.5], np.float32), ny * nx)
+    unmatched = np.tile(np.array([0.45, 0.45, 0.35, 0.35], np.float32), ny * nx)
+    mine = MyAssigner(flat, classes, matched, unmatched, MyCoder(code_size=7))
+
+    rng = np.random.RandomState(0)
+    B, M = 3, 10
+    gt = np.zeros((B, M, 8), np.float32)
+    for b in range(B):
+        n = rng.randint(3, M)
+        gt[b, :n, 0:2] = rng.uniform(-35, 35, (n, 2))
+        gt[b, :n, 2] = rng.uniform(-1.5, 0.0, n)
+        cls = rng.randint(1, 3, n)
+        sizes = np.array([[3.9, 1.6, 1.56], [0.8, 0.6, 1.73]], np.float32)[cls - 1]
+        gt[b, :n, 3:6] = sizes * rng.uniform(0.8, 1.2, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = cls
+
+    ref_out = ref.assign_targets(all_anchors_t, torch.from_numpy(gt))
+    my_out = mine.assign(jnp.asarray(gt))
+
+    np.testing.assert_array_equal(
+        np.asarray(my_out["box_cls_labels"]), ref_out["box_cls_labels"].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_out["box_reg_targets"]),
+        ref_out["box_reg_targets"].numpy(),
+        atol=1e-4,
+    )
+    # reference reg_weights are 1.0 per fg (NORM_BY_NUM_EXAMPLES False) and the
+    # head divides by num positives later; ours folds the division in
+    ref_w = ref_out["reg_weights"].numpy()
+    my_w = np.asarray(my_out["reg_weights"])
+    for b in range(B):
+        n_pos = max((ref_w[b] > 0).sum(), 1)
+        np.testing.assert_allclose(my_w[b] * n_pos, ref_w[b], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ProposalTargetLayer / RoIHeadTemplate.assign_targets
+# ---------------------------------------------------------------------------
+
+
+def _roi_cfg():
+    return EDict(
+        {
+            "TARGET_CONFIG": EDict(
+                {
+                    "BOX_CODER": "ResidualCoder",
+                    "ROI_PER_IMAGE": 32,
+                    "FG_RATIO": 0.5,
+                    "SAMPLE_ROI_BY_EACH_CLASS": True,
+                    "CLS_SCORE_TYPE": "roi_iou",
+                    "CLS_FG_THRESH": 0.75,
+                    "CLS_BG_THRESH": 0.25,
+                    "CLS_BG_THRESH_LO": 0.1,
+                    "HARD_BG_RATIO": 0.8,
+                    "REG_FG_THRESH": 0.55,
+                }
+            ),
+            "LOSS_CONFIG": EDict({"LOSS_WEIGHTS": {"code_weights": [1.0] * 7}}),
+            "DP_RATIO": -1,
+        }
+    )
+
+
+def _make_roi_scene(rng, n_rois=48, n_gt=8):
+    gt = np.zeros((n_gt, 8), np.float32)
+    gt[:, 0:2] = rng.uniform(-20, 20, (n_gt, 2))
+    gt[:, 2] = rng.uniform(-1, 0, n_gt)
+    gt[:, 3:6] = rng.uniform(1.5, 4.5, (n_gt, 3))
+    gt[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+    gt[:, 7] = rng.randint(1, 3, n_gt)
+    # rois: jittered copies of gts (fg candidates) + random (bg)
+    fg = np.repeat(gt[:, :7], 3, axis=0)
+    fg[:, :3] += rng.uniform(-0.5, 0.5, fg[:, :3].shape)
+    fg[:, 6] += rng.uniform(-0.2, 0.2, len(fg))
+    fg_labels = np.repeat(gt[:, 7], 3, axis=0)
+    n_bg = n_rois - len(fg)
+    bg = np.zeros((n_bg, 7), np.float32)
+    bg[:, 0:2] = rng.uniform(-20, 20, (n_bg, 2))
+    bg[:, 2] = rng.uniform(-1, 0, n_bg)
+    bg[:, 3:6] = rng.uniform(1.5, 4.5, (n_bg, 3))
+    bg[:, 6] = rng.uniform(-np.pi, np.pi, n_bg)
+    rois = np.concatenate([fg, bg]).astype(np.float32)
+    labels = np.concatenate([fg_labels, rng.randint(1, 3, n_bg)]).astype(np.int64)
+    scores = rng.rand(n_rois).astype(np.float32)
+    return rois, labels, scores, gt
+
+
+def test_get_max_iou_with_same_class_matches_reference(monkeypatch):
+    monkeypatch.setattr(ref_ptl_mod.iou3d_nms_utils, "boxes_iou3d_gpu", cpu_boxes_iou3d, raising=False)
+    rng = np.random.RandomState(1)
+    rois, labels, _, gt = _make_roi_scene(rng)
+    ref_ov, ref_as = ref_ptl_mod.ProposalTargetLayer.get_max_iou_with_same_class(
+        torch.from_numpy(rois), torch.from_numpy(labels),
+        torch.from_numpy(gt[:, :7]), torch.from_numpy(gt[:, 7]).long(),
+    )
+    # ours: same-class masked IoU inside sample_rois_for_rcnn
+    iou = np.asarray(my_roi.boxes_iou3d(jnp.asarray(rois), jnp.asarray(gt[:, :7])))
+    same = labels[:, None] == gt[None, :, 7]
+    masked = np.where(same, iou, 0.0)
+    my_ov = masked.max(axis=1)
+    my_as = masked.argmax(axis=1)
+    np.testing.assert_allclose(my_ov, ref_ov.numpy(), atol=1e-3)
+    # for zero-overlap rois the assigned gt is arbitrary on both sides (ours:
+    # global argmax of a zero row; reference: first same-class gt) and unused
+    # downstream (the roi is bg); compare assignment only where it matters
+    overlapping = my_ov > 0.05
+    disagree = (my_as != ref_as.numpy()) & overlapping
+    assert disagree.mean() < 0.05  # near-ties of the IoU primitive only
+    np.testing.assert_allclose(
+        masked[np.arange(len(my_as)), my_as][overlapping],
+        masked[np.arange(len(my_as)), ref_as.numpy()][overlapping],
+        atol=1e-3,
+    )
+
+
+def test_roi_assign_targets_matches_reference(monkeypatch):
+    """Run the reference RoIHeadTemplate.assign_targets end-to-end, then check
+    every deterministic function of its sample against toda_tpu's math."""
+    monkeypatch.setattr(ref_ptl_mod.iou3d_nms_utils, "boxes_iou3d_gpu", cpu_boxes_iou3d, raising=False)
+    cfg = _roi_cfg()
+    tmpl_mod = reference_shim.load("pcdet.models.roi_heads.roi_head_template")
+    head = tmpl_mod.RoIHeadTemplate(num_class=2, model_cfg=cfg)
+
+    rng = np.random.RandomState(2)
+    rois_l, labels_l, scores_l, gt_l = [], [], [], []
+    for _ in range(2):
+        rois, labels, scores, gt = _make_roi_scene(rng)
+        rois_l.append(rois); labels_l.append(labels); scores_l.append(scores); gt_l.append(gt)
+    batch = {
+        "batch_size": 2,
+        "rois": torch.from_numpy(np.stack(rois_l)),
+        "roi_labels": torch.from_numpy(np.stack(labels_l)),
+        "roi_scores": torch.from_numpy(np.stack(scores_l)),
+        "gt_boxes": torch.from_numpy(np.stack(gt_l)),
+    }
+    torch.manual_seed(0)
+    np.random.seed(0)
+    t = head.assign_targets(batch)
+
+    R = cfg.TARGET_CONFIG.ROI_PER_IMAGE
+    fg_quota = int(round(cfg.TARGET_CONFIG.FG_RATIO * R))
+    ious = t["gt_iou_of_rois"].numpy()
+    # quota case analysis: scenes have both fg and bg candidates
+    fg_thresh = min(cfg.TARGET_CONFIG.REG_FG_THRESH, cfg.TARGET_CONFIG.CLS_FG_THRESH)
+    for b in range(2):
+        assert (ious[b] >= fg_thresh).sum() <= fg_quota
+
+    # reg_valid_mask and the roi_iou soft label are deterministic in the ious
+    np.testing.assert_array_equal(
+        t["reg_valid_mask"].numpy(),
+        (ious > cfg.TARGET_CONFIG.REG_FG_THRESH).astype(np.int64),
+    )
+    fg_t, bg_t = cfg.TARGET_CONFIG.CLS_FG_THRESH, cfg.TARGET_CONFIG.CLS_BG_THRESH
+    expect = np.clip((ious - bg_t) / (fg_t - bg_t), 0.0, 1.0)
+    np.testing.assert_allclose(t["rcnn_cls_labels"].numpy(), expect, atol=1e-5)
+    # ours computes the identical formula
+    mine = np.asarray(
+        jnp.clip((jnp.asarray(ious) - bg_t) / (fg_t - bg_t), 0.0, 1.0)
+    )
+    np.testing.assert_allclose(mine, t["rcnn_cls_labels"].numpy(), atol=1e-5)
+
+    # canonical transform: our canonical_gt_of_rois on the reference's sampled
+    # (rois, gt_of_rois_src) must reproduce the reference's gt_of_rois
+    my_canon = np.asarray(
+        my_roi.canonical_gt_of_rois(
+            jnp.asarray(t["rois"].numpy()), jnp.asarray(t["gt_of_rois_src"].numpy()[..., :7])
+        )
+    )
+    ref_canon = t["gt_of_rois"].numpy()[..., :7]
+    # the reference leaves heading unclipped beyond +-pi/2 only for rois with
+    # zero-size gt (padding); compare where a real gt was assigned
+    real = t["gt_of_rois_src"].numpy()[..., 3:6].sum(-1) > 0
+    np.testing.assert_allclose(my_canon[real], ref_canon[real], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# CenterHead target assignment
+# ---------------------------------------------------------------------------
+
+
+def test_center_head_targets_match_reference():
+    nx = ny = 32
+    voxel = (0.4, 0.4, 8.0)
+    pcr = [-6.4, -6.4, -4.0, 6.4, 6.4, 4.0]
+    class_names = ("car", "pedestrian")
+
+    rng = np.random.RandomState(3)
+    B, M = 2, 12
+    gt = np.zeros((B, M, 8), np.float32)
+    for b in range(B):
+        n = rng.randint(4, M)
+        gt[b, :n, 0:2] = rng.uniform(-5.5, 5.5, (n, 2))
+        gt[b, :n, 2] = rng.uniform(-1, 1, n)
+        gt[b, :n, 3:6] = rng.uniform(0.8, 4.0, (n, 3))
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.randint(1, 3, n)
+
+    # reference: one head with both classes
+    ref_self = types.SimpleNamespace(point_cloud_range=pcr, voxel_size=voxel)
+    ref_fn = ref_center_mod.CenterHead.assign_target_of_single_head
+    from toda_tpu.models.dense_heads.center_head import CenterHead as MyCenterHead
+
+    my_head = MyCenterHead(
+        model_cfg={
+            "TARGET_ASSIGNER_CONFIG": {
+                "FEATURE_MAP_STRIDE": 1,
+                "GAUSSIAN_OVERLAP": 0.1,
+                "MIN_RADIUS": 2,
+            },
+            "SEPARATE_HEAD_CFG": {"HEAD_ORDER": [], "HEAD_DICT": {}},
+        },
+        input_channels=64,
+        num_class=2,
+        class_names=class_names,
+        grid_size=(nx, ny, 1),
+        point_cloud_range=pcr,
+        voxel_size=voxel,
+    )
+    my_t = my_head.assign_targets(jnp.asarray(gt))[0]
+
+    for b in range(B):
+        n_real = int((gt[b, :, 7] > 0).sum())
+        heat_ref, boxes_ref, inds_ref, mask_ref = ref_fn(
+            ref_self, 2, torch.from_numpy(gt[b][: n_real]), (nx, ny), 1,
+            num_max_objs=M, gaussian_overlap=0.1, min_radius=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_t["heatmap"][b]).transpose(2, 0, 1),
+            heat_ref.numpy(),
+            atol=1e-4,
+        )
+        mask_my = np.asarray(my_t["mask"][b]).astype(np.int64)
+        np.testing.assert_array_equal(mask_my, mask_ref.numpy())
+        sel = mask_my > 0
+        np.testing.assert_array_equal(
+            np.asarray(my_t["ind"][b])[sel], inds_ref.numpy()[sel]
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_t["box_targets"][b])[sel], boxes_ref.numpy()[sel], atol=1e-4
+        )

@@ -101,9 +101,17 @@ class AxisAlignedTargetAssigner:
         cls_of = jnp.round(gathered[:, -1]).astype(jnp.int32)
         labels = jnp.where(pos, cls_of, jnp.where(neg, 0, -1))
 
+        # regression targets encode against the anchor's own argmax gt — the
+        # reference uses anchor_to_gt_argmax for fg boxes even when the class
+        # label came from a force match (axis_aligned_target_assigner.py:193),
+        # so a force-matched anchor can be labelled by gt A but regressed to
+        # gt B. Pinned by tests/test_reference_parity_model.py.
+        oh_reg = (anchor_best_gt[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+                  ).astype(gt_boxes.dtype)
+        gathered_reg = oh_reg @ gt_boxes  # (N, 8)
         # keep every box column except the trailing class id — velocity
         # channels (nuScenes 9-col boxes) ride into the residual encoding
-        matched_gt = gathered[:, :-1]
+        matched_gt = gathered_reg[:, :-1]
         reg_targets = self.box_coder.encode(matched_gt, anchors)
         reg_targets = jnp.where(pos[:, None], reg_targets, 0.0)
 
