@@ -73,6 +73,10 @@ class CutMixDataset(DatasetTemplate):
         self.lasermix_pitch = dataset_cfg.get("LASERMIX_PITCH_ANGLE", None)
         pc_range = dataset_cfg.get("POINT_CLOUD_RANGE", None)
         self.range_max = float(pc_range[3]) if pc_range is not None else 60.0
+        self.pc_range = np.asarray(pc_range, np.float64) if pc_range is not None else None
+        # reference hard-codes >10000 target points per accepted window
+        # (inter_domain_point_cutmix.py:58); configurable for small fixtures
+        self.cutmix_min_points = int(dataset_cfg.get("CUTMIX_MIN_POINTS", 10000))
 
     def __len__(self):
         return len(self.source) + len(self.target)
@@ -106,7 +110,9 @@ class CutMixDataset(DatasetTemplate):
                 # or polarmix per mixed sample
                 mix_type = "cutmix" if np.random.rand() < 0.5 else "polarmix"
             kw = {}
-            if mix_type == "polarmix":
+            if mix_type == "cutmix":
+                kw = dict(pc_range=self.pc_range, min_points=self.cutmix_min_points)
+            elif mix_type == "polarmix":
                 kw = dict(
                     train_percent=self.train_percent,
                     width_method=self.polarmix_width,

@@ -36,57 +36,84 @@ def _split(points, boxes, names, point_mask, box_mask):
     return points[point_mask], boxes[box_mask], names[box_mask]
 
 
-def cutmix(src, tgt, min_points=1024, scale_range=(0.5, 1.0), max_tries=10, rng=None):
+def cutmix(src, tgt, pc_range=None, min_points=10000, max_tries=100, rng=None):
     """Swap an XY window between source and target scenes.
 
+    Reference semantics (inter_domain_point_cutmix.py:10-90):
+      * per-axis crop fractions 0.5 + U(0, 0.5) of the full pc_range extent,
+        redrawn until their aspect ratio >= 0.75 (check_aspect2D)
+      * window centered on a randomly chosen SOURCE point
+      * window accepted once it contains > ``min_points`` target points (the
+        reference hard-codes 10000 and loops forever; we cap at ``max_tries``
+        and fall back to the densest window seen — required for small scenes)
+      * box membership: mask_boxes_outside_range_numpy over the 3D window
+        [min_xy, pc_z_min, max_xy, pc_z_max] with min_num_corners=1
+      * output = source points outside the window + target points inside
+
     src/tgt: dicts with points (N, C), gt_boxes (M, 7+), gt_names (M,).
-    Returns (mixed_src_view, mixed_tgt_view) — here only the source-frame mix is
-    used downstream (reference keeps the source scene with the target window).
     """
     rng = rng or np.random
     sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
     tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
-    span = np.abs(sp[:, :2]).max(axis=0) if len(sp) else np.array([50.0, 50.0])
+    if pc_range is None:
+        span = np.abs(np.concatenate([sp[:, :2], tp[:, :2]])).max(axis=0) if len(sp) else np.array([50.0, 50.0])
+        pc_range = np.array([-span[0], -span[1], -5.0, span[0], span[1], 5.0], np.float64)
+    pc_range = np.asarray(pc_range, np.float64)
+    range_xy = pc_range[3:5] - pc_range[0:2]
 
+    crop = 0.5 + rng.rand(2) * 0.5
+    tries = 0
+    while not (np.min(crop[:2]) / np.max(crop[:2]) >= 0.75):
+        crop = 0.5 + rng.rand(2) * 0.5
+        tries += 1
+        if tries > 100:
+            break
+
+    best = None  # (count, lo, hi)
     for _ in range(max_tries):
-        center = sp[rng.randint(len(sp)), :2] if len(sp) else np.zeros(2)
-        scale = rng.uniform(*scale_range)
-        half = span * scale / 2.0
-        # aspect check: reject degenerate slivers
-        if half.min() < 1e-2 or half.max() / max(half.min(), 1e-6) > 20:
-            continue
-        lo, hi = center - half, center + half
+        center = sp[rng.choice(len(sp)), 0:3] if len(sp) else np.zeros(3)
+        half = range_xy * crop / 2.0
+        lo, hi = center[:2] - half, center[:2] + half
 
-        def in_window(pts):
-            return (
-                (pts[:, 0] >= lo[0]) & (pts[:, 0] <= hi[0])
-                & (pts[:, 1] >= lo[1]) & (pts[:, 1] <= hi[1])
-            )
+        t_in_count = int(
+            ((tp[:, 0] < hi[0]) & (tp[:, 1] < hi[1])
+             & (tp[:, 0] > lo[0]) & (tp[:, 1] > lo[1])).sum()
+        ) if len(tp) else 0
+        if best is None or t_in_count > best[0]:
+            best = (t_in_count, lo, hi)
+        if t_in_count > min_points:
+            break
+    _, lo, hi = best
 
-        t_in = in_window(tp)
-        if t_in.sum() < min_points:
-            continue
-        s_in = in_window(sp)
+    def in_window(pts):
+        if not len(pts):
+            return np.zeros(0, bool)
+        return (
+            (pts[:, 0] < hi[0]) & (pts[:, 1] < hi[1])
+            & (pts[:, 0] > lo[0]) & (pts[:, 1] > lo[1])
+        )
 
-        def box_in_window(boxes):
-            """A box belongs to the window if ANY BEV corner is inside
-            (reference cutmix box rule: mask_boxes_outside_range_numpy with
-            min_num_corners=1, inter_domain_point_cutmix.py:66-69)."""
-            if not len(boxes):
-                return np.zeros(0, bool)
-            corners = box_utils.corners_bev(np.asarray(boxes))  # (M, 4, 2)
-            return in_window(corners.reshape(-1, 2)).reshape(len(boxes), 4).any(axis=1)
+    t_in = in_window(tp)
+    s_in = in_window(sp)
 
-        sb_in = box_in_window(sb)
-        tb_in = box_in_window(tb)
+    region = np.array([lo[0], lo[1], pc_range[2], hi[0], hi[1], pc_range[5]])
 
-        mixed_points = np.concatenate([sp[~s_in], tp[t_in]])
-        mixed_boxes = np.concatenate([sb[~sb_in], tb[tb_in]]) if len(sb) or len(tb) else sb
-        mixed_names = np.concatenate([sn[~sb_in], tn[tb_in]])
-        return {
-            "points": mixed_points, "gt_boxes": mixed_boxes, "gt_names": mixed_names,
-        }
-    return dict(points=sp, gt_boxes=sb, gt_names=sn)
+    def box_in_window(boxes):
+        if not len(boxes):
+            return np.zeros(0, bool)
+        return box_utils.mask_boxes_outside_range_numpy(
+            np.asarray(boxes), region, min_num_corners=1
+        )
+
+    sb_in = box_in_window(sb)
+    tb_in = box_in_window(tb)
+
+    mixed_points = np.concatenate([tp[t_in], sp[~s_in]])
+    mixed_boxes = np.concatenate([sb[~sb_in], tb[tb_in]]) if len(sb) or len(tb) else sb
+    mixed_names = np.concatenate([sn[~sb_in], tn[tb_in]])
+    return {
+        "points": mixed_points, "gt_boxes": mixed_boxes, "gt_names": mixed_names,
+    }
 
 
 def _sector_width_schedule(method, train_percent, degree=(np.pi / 6, np.pi),
@@ -374,41 +401,36 @@ def lasermix(src, tgt, mode="spherical", num_regions=6, pitch_range=(-0.4, 0.2),
 
 
 def pseudomix(src, tgt, method="pseudobbox", rng=None):
-    """pseudobbox: paste target boxes+points into the source scene.
-    pseudobackground: paste source foreground objects onto target background."""
+    """pseudobbox: paste non-colliding target boxes+points into the source
+    scene (reference inter_domain_point_pseudobbox, :19-47: keep target boxes
+    with exactly ZERO rotated-BEV overlap vs every source box, carve their
+    footprints out of the source cloud, append their points).
+    pseudobackground: paste ALL source foreground objects onto the target
+    background (reference :49-68 — no collision check; output boxes are the
+    source boxes only)."""
+    sp, sb, sn = src["points"], src["gt_boxes"], src["gt_names"]
+    tp, tb, tn = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
+
     if method == "pseudobbox":
-        scene_p, scene_b, scene_n = src["points"], src["gt_boxes"], src["gt_names"]
-        obj_p, obj_b, obj_n = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
-    else:
-        scene_p, scene_b, scene_n = tgt["points"], tgt["gt_boxes"], tgt["gt_names"]
-        obj_p, obj_b, obj_n = src["points"], src["gt_boxes"], src["gt_names"]
-
-    if not len(obj_b):
-        return {"points": scene_p, "gt_boxes": scene_b, "gt_names": scene_n}
-
-    # non-overlapping subset of donor boxes vs scene boxes
-    if len(scene_b):
-        iou = box_utils.boxes3d_nearest_bev_iou(obj_b[:, :7], scene_b[:, :7])
-        keep = iou.max(axis=1) < 1e-2
-    else:
-        keep = np.ones(len(obj_b), bool)
-    obj_b, obj_n = obj_b[keep], obj_n[keep]
-    if not len(obj_b):
-        return {"points": scene_p, "gt_boxes": scene_b, "gt_names": scene_n}
-
-    member = box_utils.points_in_boxes_numpy(obj_p, obj_b)
-    donor_points = obj_p[member.any(axis=0)]
-    if method == "pseudobackground":
-        # background scene keeps only non-foreground points
-        scene_fg = box_utils.points_in_boxes_numpy(scene_p, scene_b).any(axis=0) if len(scene_b) else np.zeros(len(scene_p), bool)
-        scene_p = scene_p[~scene_fg]
-        scene_b = scene_b[:0]
-        scene_n = scene_n[:0]
-    else:
-        # carve the paste regions out of the scene
-        scene_keep = ~box_utils.points_in_boxes_numpy(scene_p, obj_b).any(axis=0)
-        scene_p = scene_p[scene_keep]
-    points = np.concatenate([scene_p, donor_points])
-    boxes = np.concatenate([scene_b, obj_b])
-    names = np.concatenate([scene_n, obj_n])
+        if len(sb) and len(tb):
+            overlap = box_utils.boxes_bev_iou_cpu(sb[:, :7], tb[:, :7])
+            keep = overlap.sum(axis=0) == 0
+        else:
+            keep = np.ones(len(tb), bool)
+        kept_b, kept_n = tb[keep], tn[keep]
+        t_fg = box_utils.points_in_boxes_numpy(tp, kept_b).any(axis=0) if len(kept_b) \
+            else np.zeros(len(tp), bool)
+        s_keep = ~box_utils.points_in_boxes_numpy(sp, kept_b).any(axis=0) if len(kept_b) \
+            else np.ones(len(sp), bool)
+        points = np.concatenate([sp[s_keep], tp[t_fg]])
+        boxes = np.concatenate([sb, kept_b])
+        names = np.concatenate([sn, kept_n])
+    else:  # pseudobackground
+        t_bg = ~box_utils.points_in_boxes_numpy(tp, tb[:, :7]).any(axis=0) if len(tb) \
+            else np.ones(len(tp), bool)
+        s_fg = box_utils.points_in_boxes_numpy(sp, sb[:, :7]).any(axis=0) if len(sb) \
+            else np.zeros(len(sp), bool)
+        points = np.concatenate([sp[s_fg], tp[t_bg]])
+        boxes = sb
+        names = sn
     return {"points": points, "gt_boxes": boxes, "gt_names": names}

@@ -13,12 +13,12 @@ from ...utils import box_utils
 
 
 def _subsample(points, frac, rng):
+    """Shuffle then keep the first int(n * frac) points — the reference's
+    shuffle_points + [:int(n*lam)] (intra_domain_point_mixup.py:8-28);
+    rng.permutation consumes the identical draw sequence."""
     n = len(points)
-    k = int(round(n * frac))
-    if k >= n:
-        return points
-    idx = rng.choice(n, k, replace=False)
-    return points[idx]
+    idx = rng.permutation(n)
+    return points[idx[: int(n * frac)]]
 
 
 def intra_domain_point_mixup(a, b, alpha=1.0, rng=None):
@@ -33,19 +33,26 @@ def intra_domain_point_mixup(a, b, alpha=1.0, rng=None):
 
 
 def intra_domain_point_mixup_cd(a, b, alpha=1.0, rng=None):
-    """MixUp with collision detection: B-boxes overlapping A-boxes are dropped
-    together with their points before mixing."""
+    """MixUp with collision detection: B-boxes with nonzero rotated-BEV overlap
+    against any A-box are dropped together with their points (the reference's
+    boxes_bev_iou_cpu == 0 rule + get_points_in_box margined membership,
+    intra_domain_point_mixup.py:33-72) before mixing."""
+    from ..augmentor.augmentor_utils import _members_with_margin
+
     rng = rng or np.random
+    lam = rng.beta(alpha, alpha)  # reference draws lambda BEFORE the cd step
     ab, bb = a["gt_boxes"], b["gt_boxes"]
     if len(ab) and len(bb):
-        iou = box_utils.boxes3d_nearest_bev_iou(bb[:, :7], ab[:, :7])
-        keep = iou.max(axis=1) < 1e-2
+        iou = box_utils.boxes_bev_iou_cpu(ab[:, :7], bb[:, :7])
+        keep = iou.max(axis=0) == 0
     else:
         keep = np.ones(len(bb), bool)
     b_points = b["points"]
     if (~keep).any():
-        drop_boxes = bb[~keep]
-        inside = box_utils.points_in_boxes_numpy(b_points, drop_boxes).any(axis=0)
+        inside = _members_with_margin(b_points, bb[~keep][:, :7]).any(axis=0)
         b_points = b_points[~inside]
-    b_clean = {"points": b_points, "gt_boxes": bb[keep], "gt_names": b["gt_names"][keep]}
-    return intra_domain_point_mixup(a, b_clean, alpha=alpha, rng=rng)
+    points = np.concatenate([_subsample(a["points"], lam, rng),
+                             _subsample(b_points, 1.0 - lam, rng)])
+    boxes = np.concatenate([ab, bb[keep]])
+    names = np.concatenate([a["gt_names"], b["gt_names"][keep]])
+    return {"points": points, "gt_boxes": boxes, "gt_names": names, "mixup_lambda": lam}
