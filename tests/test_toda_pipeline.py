@@ -265,5 +265,7 @@ def test_mixup_dataset_repeat_multiplies_epoch_length():
     repeated, _, _ = build_mixup_dataloader(
         mixup_cfg, CLASS_NAMES, batch_size=1, pseudo_infos=pseudo, training=True
     )
-    assert len(repeated) == 15
-    _ = repeated[14]  # tail indices are valid samples
+    # reference: len(gt_infos) * repeat — only the labeled pool is multiplied
+    # (nuscenes_mixup_adv_dataset.py:280-281)
+    assert len(repeated) == 10
+    _ = repeated[9]  # tail indices are valid samples

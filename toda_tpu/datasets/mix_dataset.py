@@ -190,8 +190,12 @@ class MixUpDataset(DatasetTemplate):
         self.repeat = int(dataset_cfg.get("REPEAT", 0))
 
     def __len__(self):
-        n = len(self.labeled_indices) + len(self.pseudo_infos)
-        return n * self.repeat if self.repeat else n
+        # reference: len(gt_infos) * repeat — only the LABELED pool is
+        # multiplied (nuscenes_mixup_adv_dataset.py:280-281); the pseudo pool
+        # sets the unrepeated epoch floor
+        if self.repeat:
+            return len(self.labeled_indices) * self.repeat
+        return len(self.labeled_indices) + len(self.pseudo_infos)
 
     def _gt_sample(self, rng):
         idx = self.labeled_indices[rng.randint(len(self.labeled_indices))]

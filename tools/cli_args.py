@@ -51,6 +51,14 @@ def resolve_launcher(args):
         port = args.tcp_port or os.environ.get("MASTER_PORT")
         if addr and port:
             args.coordinator_address = f"{addr}:{port}"
+        else:
+            raise RuntimeError(
+                "--launcher pytorch requires the torchrun env (MASTER_ADDR + "
+                "MASTER_PORT or --tcp_port); found MASTER_ADDR=%r MASTER_PORT=%r. "
+                "Run under torchrun, or pass --coordinator_address explicitly, "
+                "or drop --launcher for single-process training."
+                % (addr, os.environ.get("MASTER_PORT"))
+            )
         if args.num_processes is None and os.environ.get("WORLD_SIZE"):
             args.num_processes = int(os.environ["WORLD_SIZE"])
         if args.process_id is None and os.environ.get("RANK"):

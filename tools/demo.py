@@ -57,7 +57,14 @@ def main():
 
         p = Path(args.data_path)
         files = sorted(p.glob(f"*{args.ext}")) if p.is_dir() else [p]
-        f = files[args.frame if p.is_dir() else 0]
+        if not files:
+            raise SystemExit(f"no {args.ext} files found under {p}")
+        frame = args.frame if p.is_dir() else 0
+        if not 0 <= frame < len(files):
+            raise SystemExit(
+                f"--frame {args.frame} out of range: {len(files)} file(s) under {p}"
+            )
+        f = files[frame]
         if f.suffix == ".bin":
             pts = np.fromfile(f, dtype=np.float32).reshape(-1, 4)
         else:
@@ -69,8 +76,10 @@ def main():
             )
         item = dataset.prepare_data({"points": pts[:, :n_feat], "frame_id": f.stem})
         logger.info("raw scan %s: %d points", f.name, len(pts))
+        frame_desc = f.name
     else:
         item = dataset[args.frame]
+        frame_desc = f"frame {args.frame}"
     batch = dataset.collate_batch([item])
     state, _ = create_train_state(bundle, cfg.OPTIMIZATION, 1, batch)
     if args.ckpt:
@@ -85,7 +94,7 @@ def main():
     )
     dets = {k: np.asarray(v)[0] for k, v in dets.items()}
     m = dets["pred_mask"].astype(bool)
-    logger.info("frame %d: %d detections", args.frame, m.sum())
+    logger.info("%s: %d detections", frame_desc, m.sum())
 
     pts = batch["points"][0][batch["points_mask"][0]]
     if "gt_boxes" in batch:

@@ -58,7 +58,11 @@ def setup(args):
 
 def main():
     args = parse_args()
+    from cli_args import init_from_args, log_compat_notes
+
+    init_from_args(args)
     output_dir, ckpt_dir, logger = setup(args)
+    log_compat_notes(args, logger)
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
     epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
 

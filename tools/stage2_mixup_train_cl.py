@@ -41,10 +41,11 @@ def main():
                         help="epoch-length multiplier over the GT∪pseudo pool "
                              "(reference --repeat -> DATA_CONFIG.REPEAT)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
-    from cli_args import add_common_train_args, log_compat_notes
+    from cli_args import add_common_train_args, init_from_args, log_compat_notes
 
     add_common_train_args(parser)
     args = parser.parse_args()
+    init_from_args(args)
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)
