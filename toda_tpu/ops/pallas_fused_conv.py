@@ -87,7 +87,7 @@ DEFAULT_DOWN_SPANS = ([[384, 384], [384, 384], [768, 256]] if ALIGN64 else
                       [[512, 512], [512, 384], [896, 384]])
 # parity-mode per-group forward span default (PARITY_GROUPS order); the
 # (1,7) group spans two coarse a-rows so it needs one extra subwindow on
-# the later stages (probe tools/probe_parity_spans.py: down2 max 229,
+# the later stages (probe tools/microbench.py parity_spans: down2 max 229,
 # down3/4 group (1,7) 279/335, others <= 243)
 PARITY_SPAN = int(os.environ.get("TODA_PARITY_SPAN", "0")) or None
 # per-stage parity fwd spans (down2, down3, down4), PARITY_GROUPS order
