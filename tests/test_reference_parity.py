@@ -455,3 +455,31 @@ def test_kitti_image_box_overlap_matches_reference():
         ref = ref_kitti_eval.image_box_overlap(boxes.copy(), qboxes.copy(), criterion)
         mine = my_kitti.image_box_overlap(boxes.copy(), qboxes.copy(), criterion)
         np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_kitti_eval_class_full_protocol_matches_reference():
+    """Full eval_class A/B on the bbox (image) metric — the one metric whose
+    reference path is pure python under the numba stub (bev/3d route through
+    numba.cuda rotate_iou). Pins thresholds selection, the greedy matcher,
+    DontCare absorption, PR accumulation and the R40 average end-to-end."""
+    rng = np.random.RandomState(43)
+    gts, dts = _rand_kitti_annos(rng, n_frames=20)
+    # reference wants a score column and contiguous arrays
+    min_overlaps = np.zeros((1, 3, 2))
+    min_overlaps[0, :, 0] = 0.7  # car
+    min_overlaps[0, :, 1] = 0.5  # pedestrian
+    ref = ref_kitti_eval.eval_class(
+        gts, dts, current_classes=[0, 1], difficultys=[0, 1, 2], metric=0,
+        min_overlaps=min_overlaps, compute_aos=True,
+    )
+    for m, cls_name in enumerate(["Car", "Pedestrian"]):
+        for d in (0, 1, 2):
+            mine = my_kitti.eval_class(
+                gts, dts, cls_name, d, "bbox", compute_aos=True
+            )
+            ref_ap = ref["precision"][m, d, 0, 1:].mean()
+            ref_aos = ref["orientation"][m, d, 0, 1:].mean()
+            np.testing.assert_allclose(mine["ap"], ref_ap, atol=1e-9,
+                                       err_msg=f"{cls_name} d{d} ap")
+            np.testing.assert_allclose(mine["aos"], ref_aos, atol=1e-9,
+                                       err_msg=f"{cls_name} d{d} aos")
