@@ -257,51 +257,63 @@ def polarmix(src, tgt, train_percent=0.0, width_method="FIX",
     methods = [width_method] if isinstance(width_method, str) else list(width_method)
     sectors = _place_sectors(methods, train_percent, degree, rng)
 
-    dist_mask = None
-    if polar_dis == "RAND":
-        dis_th = rng.random() * range_max
-
-        def dist_mask(xy, _th=dis_th):  # noqa: F811
-            rho = np.linalg.norm(np.asarray(xy)[:, :2], axis=1)
-            return rho < _th if _th / range_max > 0.4 else rho > _th
-
     points, boxes, names = sp, sb, sn
     for start, width in sectors:
+        dist_mask = None
+        if polar_dis == "RAND":
+            # a FRESH distance threshold per sector (reference swap_with_range
+            # draws dis_th at the top of every call, :102)
+            dis_th = rng.random() * range_max
+
+            def dist_mask(xy, _th=dis_th):  # noqa: F811
+                rho = np.linalg.norm(np.asarray(xy)[:, :2], axis=1)
+                return rho < _th if _th / range_max > 0.4 else rho > _th
+
         points, boxes, names = _sector_swap(
             points, boxes, names, tp, tb, tn, start, width, inc_method,
             use_pitch, dist_mask=dist_mask,
         )
 
     if instance_paste and rot_copy_num > 0 and len(tb):
+        # reference rotate_copy (:153-190): per omega, rotate ALL target boxes,
+        # drop copies with nonzero rotated-BEV overlap vs everything placed so
+        # far (mixed boxes + earlier copies), extract the points of the KEPT
+        # originals in one union mask, rotate them; after all omegas, carve
+        # every copy footprint out of the mixed cloud once and append.
         omegas = [0.0, rng.uniform(0, 2 * np.pi / 3),
                   2 * np.pi / 3 + rng.uniform(0, 2 * np.pi / 3)][:rot_copy_num]
-        member = box_utils.points_in_boxes_numpy(tp, tb)
+        labels_exist = [boxes] if len(boxes) else []
+        pts_copy, boxes_copy, names_copy = [], [], []
         for rot in omegas:
             cos, sin = np.cos(rot), np.sin(rot)
-            rot_mat = np.array([[cos, -sin], [sin, cos]])
-            new_boxes, new_names, new_points = [], [], []
-            for j in range(len(tb)):
-                box = tb[j].copy()
-                box[:2] = rot_mat @ box[:2]
-                box[6] += rot
-                if box.shape[0] > 8:
-                    box[7:9] = rot_mat @ box[7:9]
-                if len(boxes):
-                    iou = box_utils.boxes3d_nearest_bev_iou(box[None, :7], boxes[:, :7])
-                    if iou.max() > 1e-2:
-                        continue
-                obj = tp[member[j]].copy()
-                obj[:, :2] = obj[:, :2] @ rot_mat.T
-                new_boxes.append(box[None])
-                new_names.append(tn[j])
-                new_points.append(obj)
-            if new_boxes:
-                # pasted objects clear their landing spot (reference :239)
-                nb = np.concatenate(new_boxes)
-                points = box_utils.remove_points_in_boxes3d(points, nb[:, :7])
-                boxes = np.concatenate([boxes, nb])
-                names = np.concatenate([names, np.asarray(new_names)])
-                points = np.concatenate([points] + new_points)
+            rot_xy = np.array([[cos, sin], [-sin, cos]])  # row-vector CCW
+            new_b = tb.copy()
+            new_b[:, :2] = tb[:, :2] @ rot_xy
+            new_b[:, 6] += rot
+            if new_b.shape[1] > 8:
+                new_b[:, 7:9] = tb[:, 7:9] @ rot_xy
+            if labels_exist:
+                exist = np.concatenate(labels_exist)
+                overlap = box_utils.boxes_bev_iou_cpu(exist[:, :7], new_b[:, :7])
+                keep = overlap.sum(axis=0) == 0
+            else:
+                keep = np.ones(len(new_b), bool)
+            new_b = new_b[keep]
+            if not len(new_b):
+                continue
+            labels_exist.append(new_b)
+            pmask = box_utils.points_in_boxes_numpy(tp, tb[keep][:, :7]).any(axis=0)
+            obj = tp[pmask].copy()
+            obj[:, :2] = obj[:, :2] @ rot_xy
+            pts_copy.append(obj)
+            boxes_copy.append(new_b)
+            names_copy.append(tn[keep])
+        if boxes_copy:
+            nb = np.concatenate(boxes_copy)
+            points = box_utils.remove_points_in_boxes3d(points, nb[:, :7])
+            points = np.concatenate([points] + pts_copy)
+            boxes = np.concatenate([boxes, nb])
+            names = np.concatenate([names, np.concatenate(names_copy)])
     return {"points": points, "gt_boxes": boxes, "gt_names": names}
 
 
