@@ -328,15 +328,13 @@ def test_residual_block_fused_flow_matches_legacy(monkeypatch, interpret):
 
 
 @pytest.mark.parametrize(
-    "align64,tail_split,fused_affine",
-    [(1, 4, 1), (0, 0, 1), (0, 2, 0), (1, 1, 0)],
+    "tail_split,fused_affine",
+    [(4, 1), (0, 1), (2, 0), (1, 0)],
 )
-def test_fused_kernel_knob_matrix(monkeypatch, align64, tail_split,
-                                  fused_affine):
-    """The kernel-path knobs (dual-plane 64-aligned windows, predicated
-    tail-sub dots, in-kernel affine backward) must all agree with the
-    XLA reference on forward AND gradients, in any combination."""
-    monkeypatch.setattr(pfc, "ALIGN64", align64)
+def test_fused_kernel_knob_matrix(monkeypatch, tail_split, fused_affine):
+    """The kernel-path knobs (predicated tail-sub dots, in-kernel affine
+    backward) must all agree with the XLA reference on forward AND
+    gradients, in any combination."""
     monkeypatch.setattr(pfc, "TAIL_SPLIT", tail_split)
     monkeypatch.setattr(pfc, "FUSED_AFFINE_BWD", fused_affine)
     rng = np.random.default_rng(7)

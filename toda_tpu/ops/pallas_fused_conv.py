@@ -54,37 +54,21 @@ NBUF = int(os.environ.get("TODA_FUSED_NBUF", "2"))
 BLOCK = int(os.environ.get("TODA_FUSED_BLOCK", "256"))  # stride-1
 BLOCK_DOWN = int(os.environ.get("TODA_FUSED_BLOCK_DOWN", "128"))  # stride-2 fwd
 BLOCK_BWD = int(os.environ.get("TODA_FUSED_BLOCK_BWD", str(BLOCK)))
-# 1 = 64-aligned window starts via a dual-plane source: every window src
-# is materialized as (2, rows, n) where plane 1 is the same data shifted
-# left by 64 lanes, so a 64-aligned start lands 128-aligned in one of the
-# planes (HBM DMA lane offsets MUST be 128-aligned — measured: 64/8-aligned
-# offsets crash Mosaic). Halves the up-to-127 alignment slack on the span,
-# shrinking the one-hot gather dots by ~25% (subm 512 -> 384).
-# MEASURED OFF (v5e bs8 bench): the XLA-side _double64 passes cost ~29
-# ms/step (335 MB read + 670 MB write per fused layer per direction)
-# against ~13 ms/step of subm dot savings — 36.96 -> 34.4 scans/s net.
-# Doubling in the producer kernels would cut the pass cost ~5x but the
-# projected net (~39 scans/s) still loses to the predicated tail-sub dot
-# (see _wide_group_dots), which gets the same MAC saving with no doubled
-# sources. Kept for the record.
-ALIGN64 = int(os.environ.get("TODA_ALIGN64", "0"))
 # Window spans (lanes), env-tunable. Probed on the bs8 bench workload
 # (4 varied batches, r3): per-dy-group window need at blk 256 is max 325
 # with 8-aligned starts for all subm stages — but window starts must be
 # 128-ALIGNED (lane tiling) and sizes 128-multiples, so the effective
 # need is ~325 + up-to-127 alignment ≈ 450 → 512 is the minimum legal
-# span (384 overflowed both the bench and the dense block test). With
-# ALIGN64 the slack halves: ~325 + up-to-63 ≈ 388 → 384 covers all but
-# rare blocks (overflow cond falls back). Stride-2 forward needs up to
-# 618 at blk 128 (8-aligned) → 768 with the 64-slack.
-SPAN_SUBM = int(os.environ.get("TODA_SPAN_SUBM", "384" if ALIGN64 else "512"))
-SPAN_DOWN = int(os.environ.get("TODA_SPAN_DOWN", "768" if ALIGN64 else "640"))
-SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN",
-                                   "384" if ALIGN64 else "512"))
+# span (384 overflowed both the bench and the dense block test).
+# Stride-2 forward needs up to 618 at blk 128 (8-aligned) → 640/896.
+# (A 64-aligned dual-plane variant was measured OFF in r3 — 34.4 vs 36.96
+# scans/s — and removed in r4; see NOTES.md and git history.)
+SPAN_SUBM = int(os.environ.get("TODA_SPAN_SUBM", "512"))
+SPAN_DOWN = int(os.environ.get("TODA_SPAN_DOWN", "640"))
+SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN", "512"))
 # per-stage (fwd, bwd) down-conv span defaults consumed by the backbone
 # (probe need128/need8 at the kernel blocks; see pillar_sparse_backbone)
-DEFAULT_DOWN_SPANS = ([[384, 384], [384, 384], [768, 256]] if ALIGN64 else
-                      [[512, 512], [512, 384], [896, 384]])
+DEFAULT_DOWN_SPANS = [[512, 512], [512, 384], [896, 384]]
 # parity-mode per-group forward span default (PARITY_GROUPS order); the
 # (1,7) group spans two coarse a-rows so it needs one extra subwindow on
 # the later stages (probe tools/microbench.py parity_spans: down2 max 229,
@@ -434,11 +418,9 @@ def _prologue(idx, n, span, block=BLOCK, align=None, groups=DY_GROUPS,
     0 — parity groups are empty for 1/3 of down4 blocks).
     Meta layout: [lo(ng) | ne(ng if with_ne) | smin(9) | smax(9)], flat.
 
-    align: window-start alignment (default 64 under ALIGN64 else 128).
-    64-aligned starts require the kernel's DMA source to be the dual-plane
-    doubled form (_double64) so the HBM lane offset stays 128-aligned."""
+    align: window-start alignment (128 = the HBM DMA lane-offset rule)."""
     if align is None:
-        align = 64 if ALIGN64 else 128
+        align = 128
     ng = len(groups)
     spans = (span,) * ng if np.isscalar(span) else tuple(span)
     m = idx.shape[0]
@@ -494,24 +476,9 @@ def _prologue(idx, n, span, block=BLOCK, align=None, groups=DY_GROUPS,
     return meta.reshape(-1), li4, overflow
 
 
-def _double64(a):
-    """(rows, n) -> (2, rows, n): plane 0 is `a`, plane 1 is `a` shifted
-    left by 64 lanes (zero tail). A 64-aligned window start lo then reads
-    128-aligned from plane (lo//64)&1 at offset lo - 64*plane — the only
-    legal way to 64-align window DMAs (lane offsets must be 128-aligned)."""
-    sh = jnp.pad(a[:, 64:], ((0, 0), (0, 64)))
-    return jnp.stack([a, sh])
-
-
 def _win_src(src, lo, span):
-    """Window slice of the kernel's DMA source for start `lo` (an SMEM
-    scalar read from meta). Under ALIGN64 `src` is the (2, rows, n)
-    dual-plane form and lo is 64-aligned; otherwise src is (rows, n) and
-    lo is 128-aligned."""
-    if ALIGN64:
-        plane = jax.lax.rem(jax.lax.div(lo, 64), 2)
-        off = pl.multiple_of(lo - plane * 64, 128)
-        return src.at[plane, :, pl.ds(off, span)]
+    """Window slice of the (rows, n) DMA source at 128-aligned start `lo`
+    (an SMEM scalar read from meta)."""
     return src.at[:, pl.ds(pl.multiple_of(lo, 128), span)]
 
 
@@ -724,7 +691,7 @@ def _call_fwd(x, sc_h, sh_h, wband, meta, li4, m, cfg):
         pl.BlockSpec((9, ks * c, cfg["zg"] * cout), lambda i, mt: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    src = _double64(x) if ALIGN64 else x
+    src = x
     args = [meta, src, li4, sc_h, sh_h, wband]
     if identity is not None:
         in_specs.append(
@@ -900,7 +867,7 @@ def _call_dw(x, sc_h, sh_h, gy, meta, li4, m_out, cfg):
         pl.BlockSpec((whalo, 1), lambda i, mt: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((w2, blk), lambda i, mt: (0, i), memory_space=pltpu.VMEM),
     ]
-    src = _double64(x) if ALIGN64 else x
+    src = x
     args = [meta, src, li4, sc_h, sh_h, gy]
     if identity is not None:
         in_specs.append(
@@ -1216,7 +1183,7 @@ def _call_bwd(gy, x, sc_x, sh_x, wback, meta, li4, m_in, cfg, want_dw=True):
         pl.BlockSpec((9, k2 * cout, zg2 * c), lambda i, mt: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    src = _double64(gy) if ALIGN64 else gy
+    src = gy
     args = [meta, src, li4, sc_x, sh_x, wback]
     if want_dw:
         in_specs.append(
