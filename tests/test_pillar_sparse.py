@@ -204,56 +204,3 @@ def test_sorted_neighbor_tables_match_map_based():
         np.testing.assert_array_equal(got2, want2)
 
 
-@pytest.mark.parametrize("dense_from", [2, 3, 4])
-@pytest.mark.parametrize("residual", [False, True])
-def test_dense_from_stages_match_sparse_path(rng, dense_from, residual):
-    """DENSE_FROM (dense XLA conv3d on the scattered BEV tensor for coarse
-    stages) must be a pure kernel choice: identical param tree, identical
-    encoded tensor and BN stats as the sparse path at every occupied site
-    (caps sized so nothing truncates)."""
-    from toda_tpu.config import EDict
-    from toda_tpu.models.backbones_3d.pillar_sparse_backbone import (
-        PillarBackBone8x,
-        PillarResBackBone8x,
-    )
-
-    cls = PillarResBackBone8x if residual else PillarBackBone8x
-    grid = (32, 32, 8)
-    pcr = (0.0, 0.0, 0.0, 3.2, 3.2, 0.8)
-    b, n = 2, 700
-    pts = np.zeros((b, n, 4), np.float32)
-    pts[..., 0] = rng.uniform(0.01, 3.19, (b, n))
-    pts[..., 1] = rng.uniform(0.01, 3.19, (b, n))
-    pts[..., 2] = rng.uniform(0.01, 0.79, (b, n))
-    pts[..., 3] = rng.uniform(0, 1, (b, n))
-    pmask = np.ones((b, n), bool)
-    pmask[:, -50:] = False
-    base_cfg = {
-        "CHANNELS": [16, 32, 64, 64], "MAX_PILLARS": 1024,
-        "BF16": False, "FUSED_CONV": False,
-    }
-
-    def run(cfg_extra, variables=None):
-        m = cls(model_cfg=EDict(dict(base_cfg, **cfg_extra)),
-                input_channels=4, grid_size=grid, voxel_size=(0.1, 0.1, 0.1),
-                point_cloud_range=pcr)
-        bd = {"points": jnp.asarray(pts), "points_mask": jnp.asarray(pmask)}
-        if variables is None:
-            variables = m.init(jax.random.PRNGKey(0), dict(bd), training=True)
-        out, st = m.apply(variables, dict(bd), training=True,
-                          mutable=["batch_stats"])
-        return variables, out["encoded_spconv_tensor"], st["batch_stats"]
-
-    v_sparse, enc_sparse, bs_sparse = run({})
-    v_dense, enc_dense, bs_dense = run({"DENSE_FROM": dense_from}, v_sparse)
-
-    # same param tree (the knob is a pure kernel choice)
-    assert jax.tree_util.tree_structure(v_sparse) == jax.tree_util.tree_structure(
-        jax.tree_util.tree_map(lambda x: x, v_dense))
-    np.testing.assert_allclose(
-        np.asarray(enc_dense, np.float32), np.asarray(enc_sparse, np.float32),
-        atol=2e-4, rtol=2e-4)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4),
-        bs_dense, bs_sparse)

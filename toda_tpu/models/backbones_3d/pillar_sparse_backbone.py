@@ -32,7 +32,6 @@ from ...ops.pillar_sparse import (
     bev_neighbor_idx,
     bev_neighbor_idx_sorted_batched,
     build_bev_map,
-    parity_permutation_batched,
     pillar_conv3d,
     pillar_conv3d_t,
     pillars_to_dense,
@@ -41,23 +40,6 @@ from ...ops.pillar_sparse import (
     voxelize_pillars_batched,
 )
 from ..model_utils.masked_norm import MaskedBatchNorm
-
-
-def build_parity_fold(coords, mask, pblk=256):
-    """Folded (gidxf, destf) plane-major permutation arrays for the parity
-    down conv (see ops/pallas_fused_conv PARITY_GROUPS): sample b's permuted
-    lanes live at [b*p_p, (b+1)*p_p) with p_p = P + 4*pblk (plane regions
-    padded to the permutation gather's block so destination blocks are
-    plane-pure). gidxf indexes the UNPADDED folded fine space (-1 = gap);
-    destf maps every folded fine lane to its padded permuted lane."""
-    bt, p_in = mask.shape
-    p_p = p_in + 4 * pblk
-    dest, gidx = parity_permutation_batched(coords, mask, block=pblk)
-    offs_p = (jnp.arange(bt, dtype=jnp.int32) * p_p)[:, None]
-    offs_f = (jnp.arange(bt, dtype=jnp.int32) * p_in)[:, None]
-    destf = (dest + offs_p).reshape(-1)
-    gidxf = jnp.where(gidx >= 0, gidx + offs_f, -1).reshape(-1)
-    return gidxf, destf
 
 
 def fold_idx(idx, p_in):
@@ -71,12 +53,6 @@ def fold_idx(idx, p_in):
 def ms_features(entry):
     """Materialize a multi_scale_3d_features entry as (Bt, P, nz, C)
     regardless of the stored layout (transposed backbones store features_t)."""
-    if "features_dense" in entry:
-        raise ValueError(
-            "multi_scale_3d_features entry is dense (backbone ran with "
-            "DENSE_FROM); sparse-feature consumers (VSA / VoxelRCNN pooling) "
-            "need DENSE_FROM disabled for this model"
-        )
     if "features_t" in entry:
         ft = entry["features_t"]
         nz, bt = entry["nz"], entry["bt"]
@@ -224,7 +200,7 @@ class PillarConvLayerT(nn.Module):
 
     @nn.compact
     def __call__(self, flatT, idxf, maskf, training=False, invf=None,
-                 fused_in=None, in_maskf=None, parity=None, dense_in=None):
+                 fused_in=None, in_maskf=None):
         """Legacy contract (fused_in=None): applied tensor in, applied
         (bn+relu+masked) tensor out, conv via pillar_conv3d_t + separate BN.
 
@@ -234,56 +210,24 @@ class PillarConvLayerT(nn.Module):
         activation pass) and returns (raw_out, (out_scale, out_shift, True))
         for the next layer. BN statistics/averages are identical either way.
         in_maskf: input-lane mask (defaults to maskf; differs for stride 2),
-        only needed by the non-fusable fallback's explicit apply.
-        parity: optional (gidxf, destf) plane-major permutation arrays for
-        the stride-2 parity-window forward (see pallas_fused_conv).
-
-        Dense contract (dense_in=(x_dense, mask_out)): x_dense is a dense
-        (Bt, ny, nx, nz, C) BEV tensor; the conv runs as one XLA conv3d
-        (stride = z_stride in every dim) and the output is masked to the
-        occupied-site set mask_out (Bt, oy, ox), so values at occupied sites
-        equal the sparse path's exactly (DENSE_FROM backbone stages — coarse
-        stages where occupancy makes a dense MXU conv cheaper than gathers).
-        Same params ("kernel", "bn"), so the knob is a pure kernel choice."""
-        if dense_in is not None:
-            c = dense_in[0].shape[-1]
-        else:
-            c = flatT.shape[0] // self.nz
+        only needed by the non-fusable fallback's explicit apply."""
+        c = flatT.shape[0] // self.nz
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (3, 3, 3, c, self.out_channels),
         )
-        if dense_in is not None:
-            x_dense, mask_out = dense_in
-            s = self.z_stride
-            # (dz, dy, dx, C, Cout) -> spatial order (y, x, z)
-            wd = w.transpose(1, 2, 0, 3, 4).astype(x_dense.dtype)
-            y = jax.lax.conv_general_dilated(
-                x_dense, wd, window_strides=(s, s, s),
-                padding=((1, 1), (1, 1), (1, 1)),
-                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
-            )
-            bt_d, oy, ox, nzo, co = y.shape
-            yt = y.transpose(3, 4, 0, 1, 2).reshape(nzo, co, bt_d * oy * ox)
-            mflat = mask_out.reshape(-1)
-            yt = MaskedBatchNormT(name="bn")(yt, mflat, training=training)
-            if self.use_relu:
-                yt = nn.relu(yt)
-            yt = jnp.where(mflat[None, None, :], yt, 0.0)
-            return yt.reshape(nzo, co, bt_d, oy, ox).transpose(2, 3, 4, 0, 1)
         it = self.identity_tap if self.identity_tap >= 0 else None
         nz_out = -(-self.nz // self.z_stride)
         if fused_in is not None:
             can = pfc.fused_ok(flatT.shape, flatT.dtype, c, self.out_channels,
                                idxf.shape[0], self.nz, self.z_stride,
-                               self.spans, parity=parity is not None)
+                               self.spans)
             if can:
                 out = pfc.fused_bnconv9_t(
                     flatT, fused_in[0], fused_in[1], w.astype(flatT.dtype),
                     idxf, invf, self.nz, self.z_stride, it, fused_in[2],
                     split_bwd=self.split_bwd, spans=self.spans,
-                    parity=parity,
                 )
             else:
                 # not fusable (e.g. c % 8 != 0 first layer, CPU tests):
@@ -324,35 +268,7 @@ class PillarSubMBlockT(nn.Module):
     first: bool = False
 
     @nn.compact
-    def __call__(self, flatT, idxf, maskf, training=False, fused_in=None,
-                 dense_in=None):
-        if dense_in is not None:
-            # dense-stage path (DENSE_FROM): stride-1 conv3d per layer, output
-            # masked to the input site set (submanifold semantics)
-            x_dense, dmask = dense_in
-            if self.residual:
-                identity = x_dense
-                h = PillarConvLayerT(self.out_channels, self.nz,
-                                     identity_tap=4, name="conv1")(
-                    None, None, None, training, dense_in=(x_dense, dmask))
-                h = PillarConvLayerT(self.out_channels, self.nz,
-                                     use_relu=False, identity_tap=4,
-                                     name="conv2")(
-                    None, None, None, training, dense_in=(h, dmask))
-                cin = identity.shape[-1]
-                if cin != self.out_channels:
-                    wp = self.param(
-                        "proj_kernel", nn.initializers.lecun_normal(),
-                        (cin, self.out_channels),
-                    )
-                    identity = identity @ wp.astype(identity.dtype)
-                return jnp.where(
-                    dmask[..., None, None], nn.relu(h + identity), 0.0)
-            for i in range(self.num_layers):
-                x_dense = PillarConvLayerT(self.out_channels, self.nz,
-                                           identity_tap=4, name=f"subm{i}")(
-                    None, None, None, training, dense_in=(x_dense, dmask))
-            return x_dense
+    def __call__(self, flatT, idxf, maskf, training=False, fused_in=None):
         # submanifold conv on the key-sorted set: inverse of tap t is the
         # mirrored tap 8-t on the same table
         invf = idxf[:, ::-1]
@@ -516,68 +432,8 @@ class _PillarBackboneBase(nn.Module):
         # dense late ones (probe need128 at the kernel blocks: down2
         # 346/425, down3 424/330, down4 723/252 — down4 fwd OVERFLOWED the
         # old global 640 and silently ran the XLA fallback every step).
-        # Defaults live next to the ALIGN64 knob they depend on.
         down_spans = self.model_cfg.get("DOWN_SPANS", pfc.DEFAULT_DOWN_SPANS)
-        # parity-window down convs (plane-major-permuted forward windows;
-        # see ops/pallas_fused_conv PARITY_GROUPS). Fine-order fallbacks
-        # compute identical values, so this is purely a kernel choice.
-        # PARITY_DOWN: "0"/"" = off, "1" = all down stages, or a digit
-        # string of stage indices (e.g. "4" = down4 only — the stage where
-        # the slope-4 dy spans are worst and the permutation gather is
-        # cheapest relative to the conv).
-        parity_cfg = str(self.model_cfg.get(
-            "PARITY_DOWN", os.environ.get("TODA_PARITY_DOWN", "0")))
-        parity_stages = (set() if parity_cfg in ("0", "", "False") else
-                         {2, 3, 4} if parity_cfg in ("1", "True") else
-                         {int(ch) for ch in parity_cfg if ch.isdigit()})
-        # DENSE_FROM: run stages >= this index densely (one XLA conv3d per
-        # layer on the scattered BEV tensor, masked to the occupied-site set —
-        # numerically the sparse path at occupied sites, modulo the per-stage
-        # pillar caps which dense stages don't need). Coarse stages reach
-        # 25-100% occupancy, where a dense MXU conv beats one-hot gathers and
-        # the table builds/sorts/final scatter disappear. 0 = off. Models that
-        # consume sparse multi-scale features (PV-RCNN VSA, VoxelRCNN pooling)
-        # must leave this off (ms_features raises).
-        dense_from = int(self.model_cfg.get(
-            "DENSE_FROM", os.environ.get("TODA_DENSE_FROM", "0")))
-        x_dense = dmask = None
         for si, ch in enumerate(chans[1:], start=2):
-            if dense_from and si >= dense_from:
-                if x_dense is None:
-                    # one-time sparse -> dense conversion of the running
-                    # applied stage output (xs_out)
-                    cprev = xs_out.shape[0] // cur_nz
-                    x4 = xs_out.reshape(cur_nz, cprev, bt, -1).transpose(2, 3, 0, 1)
-                    x_dense = pillars_to_dense_batched(x4, coords, mask, bev_shape)
-                    ny_c, nx_c = bev_shape
-                    flatk = jnp.where(
-                        mask & (coords[..., 0] >= 0),
-                        coords[..., 0] * nx_c + coords[..., 1], ny_c * nx_c)
-                    dmask = (
-                        jnp.zeros((bt, ny_c * nx_c + 1), bool)
-                        .at[jnp.arange(bt)[:, None], flatk].set(True)
-                    )[:, : ny_c * nx_c].reshape(bt, ny_c, nx_c)
-                ny_c, nx_c = x_dense.shape[1], x_dense.shape[2]
-                oy, ox = -(-ny_c // 2), -(-nx_c // 2)
-                # footprint site rule (bev_downsample_sites): a coarse cell is
-                # occupied iff its 2x2 fine footprint has an occupied cell
-                mpad = jnp.pad(dmask, ((0, 0), (0, 2 * oy - ny_c), (0, 2 * ox - nx_c)))
-                mask_out = mpad.reshape(bt, oy, 2, ox, 2).any(axis=(2, 4))
-                x_dense = PillarConvLayerT(ch, cur_nz, z_stride=2,
-                                           name=f"down{si}")(
-                    None, None, None, training, dense_in=(x_dense, mask_out))
-                dmask = mask_out
-                bev_shape = (oy, ox)
-                cur_nz = -(-cur_nz // 2)
-                stride *= 2
-                x_dense = PillarSubMBlockT(ch, cur_nz, residual=self.RESIDUAL,
-                                           name=f"stage{si}")(
-                    None, None, None, training, dense_in=(x_dense, dmask))
-                multi_scale[f"x_conv{si}"] = {
-                    "features_dense": x_dense, "mask_dense": dmask,
-                    "stride": stride, "nz": cur_nz, "bt": bt,
-                }
-                continue
             p_in, p_out = coords.shape[1], caps[si - 1]
             new_coords, new_mask = jax.vmap(
                 lambda c_, m_: bev_downsample_sites(c_, m_, 2, p_out, bev_shape)
@@ -589,18 +445,11 @@ class _PillarBackboneBase(nn.Module):
             new_maskf = new_mask.reshape(bt * p_out)
             if use_fused:
                 ds = list(down_spans[min(si - 2, len(down_spans) - 1)])
-                parity = None
-                if si in parity_stages:
-                    parity = build_parity_fold(coords, mask)
-                    ds[0] = tuple(
-                        pfc.DEFAULT_PARITY_SPANS[
-                            min(si - 2, len(pfc.DEFAULT_PARITY_SPANS) - 1)])
                 x, aff = PillarConvLayerT(ch, cur_nz, z_stride=2,
                                           spans=tuple(ds),
                                           name=f"down{si}")(
                     x, fold_idx(nbr, p_in), new_maskf, training,
-                    fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf,
-                    parity=parity)
+                    fold_idx(inv, p_out), fused_in=aff, in_maskf=maskf)
             else:
                 x = PillarConvLayerT(ch, cur_nz, z_stride=2, name=f"down{si}")(
                     x, fold_idx(nbr, p_in), new_maskf, training,
@@ -626,16 +475,13 @@ class _PillarBackboneBase(nn.Module):
             }
 
         # final stage -> dense BEV tensor (one small transpose)
-        if x_dense is not None:
-            dense = x_dense  # dense stages end dense — no final scatter
-        else:
-            if use_fused:
-                x = xs_out  # applied form of the last stage
-            cfin = x.shape[0] // cur_nz
-            x4 = x.reshape(cur_nz, cfin, bt, -1).transpose(2, 3, 0, 1)  # (Bt,P,nz,C)
-            dense = pillars_to_dense_batched(
-                x4, coords, mask, bev_shape
-            )  # (B, ny8, nx8, nz8, C) — span-kernel scatter + gather VJP
+        if use_fused:
+            x = xs_out  # applied form of the last stage
+        cfin = x.shape[0] // cur_nz
+        x4 = x.reshape(cur_nz, cfin, bt, -1).transpose(2, 3, 0, 1)  # (Bt,P,nz,C)
+        dense = pillars_to_dense_batched(
+            x4, coords, mask, bev_shape
+        )  # (B, ny8, nx8, nz8, C) — span-kernel scatter + gather VJP
         # encoded tensor in (B, D, H, W, C) convention for HeightCompression
         batch_dict["encoded_spconv_tensor"] = dense.transpose(0, 3, 1, 2, 4).astype(
             jnp.float32 if not self.model_cfg.get("BF16", True) else jnp.bfloat16

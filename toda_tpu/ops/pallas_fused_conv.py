@@ -69,18 +69,6 @@ SPAN_BWD_DOWN = int(os.environ.get("TODA_SPAN_BWD_DOWN", "512"))
 # per-stage (fwd, bwd) down-conv span defaults consumed by the backbone
 # (probe need128/need8 at the kernel blocks; see pillar_sparse_backbone)
 DEFAULT_DOWN_SPANS = [[512, 512], [512, 384], [896, 384]]
-# parity-mode per-group forward span default (PARITY_GROUPS order); the
-# (1,7) group spans two coarse a-rows so it needs one extra subwindow on
-# the later stages (probe tools/microbench.py parity_spans: down2 max 229,
-# down3/4 group (1,7) 279/335, others <= 243)
-PARITY_SPAN = int(os.environ.get("TODA_PARITY_SPAN", "0")) or None
-# per-stage parity fwd spans (down2, down3, down4), PARITY_GROUPS order
-DEFAULT_PARITY_SPANS = [
-    (256, 256, 256, 256, 256),
-    (256, 256, 384, 256, 256),
-    (256, 256, 384, 256, 256),
-]
-
 INTERPRET = False
 # debug knob: 1 = always take the fast kernel (skip the overflow cond; wrong
 # results if a window would overflow), 2 = always take the XLA reference
@@ -127,12 +115,10 @@ GROUP_LANES = int(os.environ.get("TODA_GROUP_LANES", "128"))
 
 
 # default window grouping: taps share a window per BEV row offset dy (rows
-# are far apart in the key-sorted rank space, columns adjacent). The parity
-# grouping (stride-2 convs on a plane-major-permuted table) groups taps by
-# the (y&1, x&1) plane they land in, with the corner plane split per a-row —
-# each group is then a slope-1 single-row stream and the spans drop ~2.5x.
+# are far apart in the key-sorted rank space, columns adjacent).
+# (A plane-major "parity" grouping for stride-2 convs was measured OFF in r3
+# — 35.6 vs 40.2 scans/s — and removed in r4; see NOTES.md + git history.)
 DY_GROUPS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
-PARITY_GROUPS = ((4,), (3, 5), (1, 7), (0, 2), (6, 8))
 
 
 def _fwd_slots(identity, groups=DY_GROUPS):
@@ -411,11 +397,10 @@ def _prologue(idx, n, span, block=BLOCK, align=None, groups=DY_GROUPS,
     overflow. Same per-group window math as pallas_gather._stacked_prologue,
     but li is NOT sublane-replicated (8x less metadata traffic).
 
-    groups: window grouping of the 9 taps (DY_GROUPS default; PARITY_GROUPS
-    for stride-2 convs on a plane-major-permuted table). `span` may be a
+    groups: window grouping of the 9 taps (DY_GROUPS). `span` may be a
     scalar or a per-group tuple. with_ne=True appends a per-group nonempty
-    flag after the lo words (the kernel skips the group's DMA and dots when
-    0 — parity groups are empty for 1/3 of down4 blocks).
+    flag after the lo words (the kernel skips the group's DMA and dots
+    when 0).
     Meta layout: [lo(ng) | ne(ng if with_ne) | smin(9) | smax(9)], flat.
 
     align: window-start alignment (128 = the HBM DMA lane-offset rule)."""
@@ -1309,20 +1294,11 @@ def _ref_fwd(x, scale, shift, w, idxf, nz_in, z_stride, act):
 # --------------------------------------------------------------------------
 
 
-def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None,
-              parity=False):
+def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
     """spans: optional (span_fwd, span_bwd) per-layer override of the
     global SPAN_* knobs — the down stages have very different window
     needs (probe: down2 346, down3 424, down4 723 at blk 128), and one
-    shared span either overpays MACs or silently falls back. span_fwd may
-    be a per-group tuple (parity mode).
-
-    parity=True (z_stride=2 only): the forward consumes a plane-major-
-    permuted input table with PARITY_GROUPS windows (probe: per-group needs
-    175-335 vs 325-1119 for dy groups on the unpermuted table) and per-group
-    empty flags (down4 blocks miss whole planes 1/3 of the time). The
-    backward is unchanged — it computes dx in the ORIGINAL fine order from
-    the unpermuted inverse tables, so it never touches the permutation."""
+    shared span either overpays MACs or silently falls back."""
     zg = fwd_group_size(cout)
     nz_out = -(-nz_in // z_stride)
     nzp_out = -(-nz_out // zg) * zg
@@ -1341,24 +1317,16 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None,
         ((ng2 - 1) * goff + bwd_tail_slabs(zg2_tail, z_stride)) * cout,
         (ht + nz_out) * cout,  # must cover the DMA'd gy rows
     )
-    groups = PARITY_GROUPS if parity else DY_GROUPS
+    groups = DY_GROUPS
     sp_fwd = spans[0] if spans and spans[0] else None
-    if parity:
-        assert z_stride == 2, "parity windows are for stride-2 convs"
-        if sp_fwd is None:
-            sp_fwd = PARITY_SPAN or 384
-        spans_g = ((sp_fwd,) * len(groups) if np.isscalar(sp_fwd)
-                   else tuple(sp_fwd))
-    else:
-        assert sp_fwd is None or np.isscalar(sp_fwd)
-        spans_g = ((sp_fwd or (SPAN_SUBM if z_stride == 1 else SPAN_DOWN)),
-                   ) * 3
+    assert sp_fwd is None or np.isscalar(sp_fwd)
+    spans_g = ((sp_fwd or (SPAN_SUBM if z_stride == 1 else SPAN_DOWN)),) * 3
     return dict(
         c=c, cout=cout, nz_in=nz_in, nz_out=nz_out, nzp_out=nzp_out,
         nzp_in=nzp_in, zg=zg, zg2=zg2, zg_tail=zg_tail, zg2_tail=zg2_tail,
         z_stride=z_stride, act=act,
         identity=identity_tap, whalo=whalo, whalo2=whalo2,
-        groups=groups, spans_g=spans_g, ne=bool(parity),
+        groups=groups, spans_g=spans_g, ne=False,
         span=max(spans_g),
         span_bwd=(spans[1] if spans and spans[1] else
                   (SPAN_SUBM if z_stride == 1 else SPAN_BWD_DOWN)),
@@ -1367,14 +1335,13 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None,
     )
 
 
-def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None,
-             parity=False):
+def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
     """Static gate for the fused kernel path."""
     if INTERPRET:
         pass
     elif jax.default_backend() == "cpu" or dtype != jnp.bfloat16:
         return False
-    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans, parity)
+    cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans)
     m_in = x_shape[1]
     eb = 2  # bf16 element bytes
     w0, w2 = nz_in * c, cfg["nz_out"] * cout
@@ -1460,68 +1427,6 @@ def _fused_vjp_fwd(x, scale, shift, w, idxf, invf, nz_in, z_stride, act,
     y = _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
                         identity_tap, spans)
     return y, (x, scale, shift, w, idxf, invf)
-
-
-# ---- parity variant: plane-major-permuted forward, fine-order backward ----
-
-
-def _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in, act,
-                     spans):
-    """Forward with PARITY_GROUPS windows: materialize the plane-major-
-    permuted input (values only — never differentiated through; the
-    backward computes dx in fine order from the unpermuted inverse tables)
-    and run the fused kernel on the composed tap table destf[idxf]."""
-    c = x.shape[0] // nz_in
-    cout = w.shape[-1]
-    cfg = _make_cfg(c, cout, nz_in, 2, act, None, spans, parity=True)
-    m_out = idxf.shape[0]
-    xp = _pg.gather_rows_taps_t(x, gidxf[:, None], span=_pg.PERM_SPAN)[0]
-    idxp = jnp.where(idxf >= 0, destf[jnp.clip(idxf, 0)], -1)
-    meta, li4, overflow = _prologue(
-        idxp, xp.shape[1], cfg["spans_g"], cfg["blk_fwd"],
-        groups=cfg["groups"], with_ne=cfg["ne"])
-    sc_h, sh_h = _affine_rows(scale, shift, cfg["whalo"], c, c, nz_in * c,
-                              x.dtype)
-    wband = band_fwd_weights(w, cfg["zg"], 2).astype(x.dtype)
-
-    def fast():
-        return _call_fwd(xp, sc_h, sh_h, wband, meta, li4, m_out, cfg)
-
-    def slow():
-        # fine-order reference: the permutation is purely a window-locality
-        # optimization, so the unpermuted gather computes the same values
-        return _ref_fwd(x, scale, shift, w, idxf, nz_in, 2, act)
-
-    if FORCE_PATH == 1:
-        return fast()
-    if FORCE_PATH == 2:
-        return slow()
-    return jax.lax.cond(overflow, slow, fast)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _fused_core_parity(x, scale, shift, w, idxf, invf, gidxf, destf, nz_in,
-                       act, spans):
-    return _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in,
-                            act, spans)
-
-
-def _parity_vjp_fwd(x, scale, shift, w, idxf, invf, gidxf, destf, nz_in,
-                    act, spans):
-    y = _parity_fwd_impl(x, scale, shift, w, idxf, gidxf, destf, nz_in, act,
-                         spans)
-    return y, (x, scale, shift, w, idxf, invf)
-
-
-def _parity_vjp_bwd(nz_in, act, spans, res, gy):
-    # identical to the standard backward: dx in fine order via the
-    # unpermuted inverse tables (the permutation never enters the backward)
-    out = _fused_vjp_bwd(nz_in, 2, act, None, (None, spans[1] if spans else
-                                               None), res, gy)
-    return out + (None, None)
-
-
-_fused_core_parity.defvjp(_parity_vjp_fwd, _parity_vjp_bwd)
 
 
 def _mixed_bwd(x, scale, shift, w, idxf, invf, gy, nz_in, z_stride, act,
@@ -1722,7 +1627,7 @@ _fused_core_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)
 
 def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
                     identity_tap=None, act=True, split_bwd=False, spans=None,
-                    parity=None):
+                    ):
     """Fused relu(x*scale+shift) -> 3x3x3 sparse conv, transposed layout.
 
     Args:
@@ -1746,16 +1651,8 @@ def fused_bnconv9_t(x, scale, shift, weights, idxf, invf, nz_in, z_stride=1,
     c = x.shape[0] // nz_in
     cout = weights.shape[-1]
     if not fused_ok(x.shape, x.dtype, c, cout, idxf.shape[0], nz_in, z_stride,
-                    spans, parity=parity is not None):
-        # the parity permutation is purely a kernel-window optimization;
-        # the unpermuted reference computes identical values
+                    spans):
         return _ref_fwd(x, scale, shift, weights, idxf, nz_in, z_stride, act)
-    if parity is not None:
-        assert z_stride == 2 and identity_tap is None and not split_bwd
-        gidxf, destf = parity
-        return _fused_core_parity(x, scale, shift, weights, idxf, invf,
-                                  gidxf, destf, nz_in, act,
-                                  spans if spans is None else tuple(spans))
     if split_bwd and not act:
         # raw-input first layer: dW-only + DCE-able dx backward (see
         # _fused_core_split); dscale/dshift are zeros — with act=False the

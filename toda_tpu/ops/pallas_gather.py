@@ -326,10 +326,6 @@ def gather_rows_taps(table, idx):
 # table, and the local gather is win (W, S) @ onehot (S, B) on the MXU.
 
 SPAN_T = 512  # lane-window size; offsets must be 128-aligned (lane tiling)
-# window span for plane-major permutation gathers (slope ~4 source streams:
-# each parity plane draws every ~4th fine site, so a 256-lane destination
-# block reads a ~1024-lane source range + alignment slack)
-PERM_SPAN = int(os.environ.get("TODA_PERM_SPAN", "1408"))
 # separate block size for the transposed kernel: the one-hot matmul FLOPs
 # scale with SPAN_T/BLOCK_T, and the union span grows only additively with
 # the block size, so bigger blocks cut compute

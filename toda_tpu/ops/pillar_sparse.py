@@ -1208,98 +1208,6 @@ def bev_down_tables(fine_coords, fine_mask, coarse_coords, coarse_mask,
     return nbr[0], inv[0]
 
 
-# --------------------------------------------------------------------------
-# parity-plane permutation for the stride-2 down convs
-# --------------------------------------------------------------------------
-#
-# A stride-2 3x3 BEV conv maps 128 consecutive coarse outputs onto fine rows
-# spread at slope ~4 in the fine-key order, so the fused kernel's dy-group
-# windows need spans of 512-896 (vs 512 for submanifold convs) and the
-# one-hot gather dots pay proportionally. Permuting the fine table into
-# (y&1, x&1) PLANE-MAJOR order fixes the slope: within a parity plane the
-# fine-key order is exactly the coarse-key order (fixed parities make
-# (2a+py)*nx + 2b+px lexicographic in (a, b)), so every tap of the conv is a
-# slope-1 monotone stream into one plane and the per-group windows drop to
-# submanifold size. The permutation itself is a stable 4-way partition =
-# pure cumsums (no sort), and the down tables need NO new rank machinery:
-# they are the existing tables composed with the destination map.
-
-
-def parity_destinations(coords, mask, block=None):
-    """Per-sample destination lane of each site under the plane-major
-    permutation: stable partition by plane id (y&1)*2 + (x&1), invalid
-    sites parked after all valid ones in order. Returns dest (P,) int32.
-
-    block=None: a bijection on [0, P). block=B: each plane's region start
-    is padded up to a multiple of B (gap lanes between planes), so every
-    B-aligned destination block is PLANE-PURE — required by the span-window
-    permutation gather (a block straddling two planes would union two
-    distant source ranges and overflow its window). The padded lane space
-    is [0, P + 4*B); invalid sites fill the tail region in order."""
-    plane = (coords[:, 0] & 1) * 2 + (coords[:, 1] & 1)
-    plane = jnp.where(mask, plane, 4).astype(jnp.int32)
-    onehot = (plane[:, None] == jnp.arange(5, dtype=jnp.int32)[None]).astype(
-        jnp.int32)
-    cum = jnp.cumsum(onehot, axis=0)  # inclusive per-plane counts
-    within = jnp.sum(onehot * cum, axis=1) - 1
-    totals = cum[-1]
-    if block:
-        padded = -(-totals[:4] // block) * block
-        sizes = jnp.concatenate([padded, totals[4:]])
-    else:
-        sizes = totals
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), sizes.dtype), jnp.cumsum(sizes)[:-1]])
-    return (jnp.sum(onehot * offsets[None], axis=1) + within).astype(jnp.int32)
-
-
-def parity_permutation_batched(coords, mask, block=None):
-    """Batched (dest, gidx): dest (B, P) destination of each source lane,
-    gidx (B, P_p) source of each destination lane (-1 for the gap lanes a
-    `block` padding introduces; P_p = P + 4*block when padding)."""
-    dest = jax.vmap(lambda c, m: parity_destinations(c, m, block))(
-        coords, mask)
-    b, p = dest.shape
-    pp = p + 4 * block if block else p
-    src = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None], (b, p))
-    gidx = jax.vmap(
-        lambda d, s: jnp.full((pp,), -1, jnp.int32).at[d].set(s)
-    )(dest, src)
-    return dest, gidx
-
-
-PERM_SPAN = _pg.PERM_SPAN
-
-
-@jax.custom_vjp
-def permute_lanes_t(x, gidxf, destf):
-    """Permute the lanes of a transposed table: out[:, d] = x[:, gidxf[d]].
-
-    gidxf/destf are the FOLDED permutation and its inverse (each a bijection
-    on [0, Mf)). Differentiable in x: the cotangent permutes back through
-    destf. Rides the fused span-window gather kernel (slope-4 windows, span
-    PERM_SPAN); falls back to an XLA lane take when the gate fails."""
-    return _permute_lanes_fwd_impl(x, gidxf)
-
-
-def _permute_lanes_fwd_impl(x, gidxf):
-    out = gather_rows_taps_t(x, gidxf[:, None], span=PERM_SPAN)
-    return out[0]
-
-
-def _permute_lanes_vjp_fwd(x, gidxf, destf):
-    return _permute_lanes_fwd_impl(x, gidxf), (gidxf, destf)
-
-
-def _permute_lanes_vjp_bwd(res, g):
-    gidxf, destf = res
-    dx = gather_rows_taps_t(g, destf[:, None], span=PERM_SPAN)[0]
-    return dx, None, None
-
-
-permute_lanes_t.defvjp(_permute_lanes_vjp_fwd, _permute_lanes_vjp_bwd)
-
-
 def pillar_inv_conv3d(coarse_features, inv_neighbor_idx, weights, fine_mask, nz_fine):
     """Transposed 3x3x3 s=2 conv: coarse stage -> the (known) fine active set.
 
