@@ -163,59 +163,6 @@ def test_fused_down_forward_and_grads(monkeypatch, mixed):
                                atol=0.5, rtol=0.05)
 
 
-@pytest.mark.parametrize("mixed", [0, 1])
-def test_fused_down_parity_forward_and_grads(monkeypatch, mixed):
-    """Parity-window down conv (plane-major-permuted forward) must agree
-    with the XLA reference on forward and all gradients; the backward runs
-    the standard fine-order path."""
-    from toda_tpu.ops.pillar_sparse import parity_permutation_batched
-
-    monkeypatch.setattr(pfc, "MIXED_BWD", mixed)
-    rng = np.random.default_rng(5)
-    nz, c, cout = 5, 16, 32
-    x, scale, shift, w, idx, inv, mask, om, coords = _down_setup(
-        rng, nz=nz, c=c, cout=cout)
-    p = x.shape[1]
-    pblk = 256
-    dest, gidx = parity_permutation_batched(coords[None], mask[None],
-                                            block=pblk)
-    destf, gidxf = dest[0], gidx[0]
-    spans = ((256, 256, 256, 256, 256), pfc.SPAN_BWD_DOWN)
-    # the composed parity table must not overflow its per-group windows
-    idxp = jnp.where(idx >= 0, destf[jnp.clip(idx, 0)], -1)
-    _, _, ovf = pfc._prologue(idxp, p + 4 * pblk, spans[0], pfc.BLOCK_DOWN,
-                              groups=pfc.PARITY_GROUPS, with_ne=True)
-    assert not bool(ovf), "parity windows overflowed in the test scenario"
-
-    y = pfc.fused_bnconv9_t(x, scale, shift, w, idx, inv, nz, 2, None, True,
-                            spans=spans, parity=(gidxf, destf))
-    ref = pfc._ref_fwd(x, scale, shift, w, idx, nz, 2, True)
-    _masked_close(y, ref, om, 0.1)
-
-    r = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
-    r = (r * om[None, :]).astype(jnp.bfloat16)
-
-    def loss(fn):
-        def f(x_, s_, b_, w_):
-            return jnp.sum((fn(x_, s_, b_, w_) * r).astype(jnp.float32))
-        return f
-
-    gf = jax.grad(
-        loss(lambda *a: pfc.fused_bnconv9_t(*a, idx, inv, nz, 2, None, True,
-                                            spans=spans,
-                                            parity=(gidxf, destf))),
-        argnums=(0, 1, 2, 3),
-    )(x, scale, shift, w)
-    gr = jax.grad(
-        loss(lambda *a: pfc._ref_fwd(*a, idx, nz, 2, True)),
-        argnums=(0, 1, 2, 3),
-    )(x, scale, shift, w)
-    _masked_close(gf[0], gr[0], mask, 0.1)
-    np.testing.assert_allclose(np.asarray(gf[3], np.float32),
-                               np.asarray(gr[3], np.float32),
-                               atol=0.5, rtol=0.05)
-
-
 def test_band_weights_roundtrip():
     # extract_dw must be the exact adjoint bookkeeping of band_bwd placement:
     # feeding dwacc built from a known outer-product structure recovers dW.
