@@ -369,3 +369,26 @@ def test_center_head_targets_match_reference():
         np.testing.assert_allclose(
             np.asarray(my_t["box_targets"][b])[sel], boxes_ref.numpy()[sel], atol=1e-4
         )
+
+
+def test_roi_generate_predicted_boxes_matches_reference(monkeypatch):
+    """Final-stage decode: canonical rcnn_reg residuals -> world boxes."""
+    cfg = _roi_cfg()
+    tmpl_mod = reference_shim.load("pcdet.models.roi_heads.roi_head_template")
+    head = tmpl_mod.RoIHeadTemplate(num_class=2, model_cfg=cfg)
+    rng = np.random.RandomState(5)
+    B, R = 2, 16
+    rois = np.stack([_make_roi_scene(rng)[0][:R] for _ in range(B)])
+    cls_preds = rng.randn(B * R, 1).astype(np.float32)
+    box_preds = (rng.randn(B * R, 7) * 0.2).astype(np.float32)
+    ref_cls, ref_boxes = head.generate_predicted_boxes(
+        B, torch.from_numpy(rois), torch.from_numpy(cls_preds), torch.from_numpy(box_preds)
+    )
+    from toda_tpu.utils.box_coder_utils import ResidualCoder
+
+    my_cls, my_boxes = my_roi.generate_predicted_boxes_roi(
+        jnp.asarray(rois), jnp.asarray(cls_preds.reshape(B, R, 1)),
+        jnp.asarray(box_preds.reshape(B, R, 7)), ResidualCoder(code_size=7),
+    )
+    np.testing.assert_allclose(np.asarray(my_boxes), ref_boxes.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(my_cls).reshape(-1, 1), ref_cls.numpy().reshape(-1, 1), atol=1e-6)
