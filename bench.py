@@ -65,7 +65,10 @@ def build_cfg(model, batch_size, n_batches):
         cfg = cfg_from_yaml_file(
             str(root / "tools/cfgs/synthetic_models/centerpoint_synthetic.yaml"), EDict()
         )
-        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-54.0, -54.0, -5.0, 54.0, 54.0, 4.8]
+        # z capped at 3.0 (nz=40, the kernel shape class proven by the SECOND
+        # path) — the reference's 4.8 gives nz=49, which currently exceeds the
+        # fused down-conv's scoped-VMEM budget and would fall back / OOM
+        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-54.0, -54.0, -5.0, 54.0, 54.0, 3.0]
         for proc in cfg.DATA_CONFIG.DATA_PROCESSOR:
             if proc.NAME == "sample_points":
                 proc.NUM_POINTS = {"train": 131072, "test": 131072}
@@ -130,9 +133,17 @@ def bench_train(model, batch_size):
     scans_per_sec = 0.0
     for _ in range(3):
         t0 = time.time()
+        checksum = 0.0
         for i in range(iters):
             state, tb = step(state, batches[i % len(batches)])
-        jax.block_until_ready(tb["loss"])
+            # HOST READBACK every step: on the axon tunnel block_until_ready
+            # can return before queued dispatches execute (measured: a
+            # 20-step pass "finishing" in 0.1 s while the real step is
+            # 345 ms), inflating the result ~60x. A synchronous scalar
+            # device->host copy cannot be elided; it costs ~1 ms against
+            # 200+ ms steps.
+            checksum += float(tb["loss"])
+        assert np.isfinite(checksum)
         dt = time.time() - t0
         scans_per_sec = max(scans_per_sec, iters * batch_size / dt)
 
@@ -171,9 +182,11 @@ def bench_infer(model, batch_size):
     scans_per_sec = 0.0
     for _ in range(3):
         t0 = time.time()
+        checksum = 0.0
         for i in range(iters):
             dets = predict(variables, infer_batches[i % len(infer_batches)])
-        jax.block_until_ready(dets["pred_boxes"])
+            checksum += float(dets["pred_scores"][0, 0])  # host readback, see bench_train
+        assert np.isfinite(checksum)
         dt = time.time() - t0
         scans_per_sec = max(scans_per_sec, iters * batch_size / dt)
 
