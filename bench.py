@@ -205,7 +205,10 @@ def bench_infer(model, batch_size):
 
 def main():
     args = [a for a in sys.argv[1:]]
-    batch_size = 8
+    # honest-harness bs sweep (v5e, r4): 8->34.7, 12->35.7, 16->38.5,
+    # 20->37.1, 24->38.9, 32->OOM/compile-fail. 16 is within noise of the
+    # best and robustly clear of the memory edge.
+    batch_size = 16
     model = "second"
     infer = "--infer" in args
     if "--model" in args:
