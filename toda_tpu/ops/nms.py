@@ -43,16 +43,34 @@ def nms_bev(boxes, scores, thresh, pre_maxsize=1024, post_maxsize=512, valid_mas
     iou = boxes_iou_bev(top_boxes, top_boxes)  # (k, k)
     alive_score = top_scores > NEG_INF / 2
 
-    def body(i, state):
-        keep, suppressed = state
-        is_keep = jnp.logical_and(jnp.logical_not(suppressed[i]), alive_score[i])
-        keep = keep.at[i].set(is_keep)
-        suppressed = jnp.where(is_keep, jnp.logical_or(suppressed, iou[i] > thresh), suppressed)
-        return keep, suppressed
+    # Exact greedy NMS as an iterative fixed point instead of a k-step
+    # sequential loop (k=1024 tiny loop steps dominated eval: 1.4 s/example
+    # measured, r4). The greedy result is the unique solution of
+    #   keep[i] = alive[i] & ~any_{j<i}( sup[j, i] & keep[j] )
+    # over the strictly-upper-triangular suppression matrix sup (row j
+    # suppresses column i when iou > thresh and j outranks i). Iterating
+    # that equation from keep=alive converges: rank 0 is correct
+    # immediately, and once all ranks < r are stable rank r is correct on
+    # the next sweep — so at most longest-suppression-chain iterations
+    # (typically < 10), each ONE (k, k) masked matvec on the VPU. The
+    # while_loop stops at the fixed point, so the result is exactly the
+    # sequential greedy output for every input.
+    ranks = jnp.arange(k)
+    sup = (iou > thresh) & (ranks[:, None] < ranks[None, :])  # strictly upper
 
-    keep = jnp.zeros((k,), dtype=bool)
-    suppressed = jnp.zeros((k,), dtype=bool)
-    keep, _ = jax.lax.fori_loop(0, k, body, (keep, suppressed))
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        new = alive_score & ~jnp.any(sup & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep0 = alive_score
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (alive_score & ~jnp.any(sup & keep0[:, None], axis=0), keep0, 0)
+    )
 
     # Compact kept rows (already score-ordered) into post_maxsize slots.
     sel_scores = jnp.where(keep, top_scores, NEG_INF)
