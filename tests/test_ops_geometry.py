@@ -94,6 +94,97 @@ class TestNMS:
         assert set(idx[mask].tolist()) <= {0, 1, 2}
 
 
+def greedy_nms_host(iou, scores, thresh):
+    """Plain sequential greedy NMS over a precomputed IoU matrix (the
+    reference semantics of pcdet iou3d_nms_kernel.cu nms_gpu, run on host).
+    Returns the keep mask in score-rank order."""
+    order = np.argsort(-scores, kind="stable")
+    n = len(scores)
+    keep = np.zeros(n, dtype=bool)
+    suppressed = np.zeros(n, dtype=bool)
+    for r in range(n):
+        i = order[r]
+        if suppressed[i]:
+            continue
+        keep[i] = True
+        for rr in range(r + 1, n):
+            j = order[rr]
+            if iou[i, j] > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMSFixedPointMatchesGreedy:
+    """The while_loop iterative-closure NMS (ops/nms.py) must produce the
+    EXACT keep-set of sequential greedy NMS on randomized dense cases —
+    the pin VERDICT r4 asked for alongside the parallel formulation."""
+
+    def test_randomized_equivalence(self):
+        rng = np.random.RandomState(7)
+        for trial, (n, thresh) in enumerate(
+            [(64, 0.1), (64, 0.5), (128, 0.3), (256, 0.01), (256, 0.7), (512, 0.2)]
+        ):
+            # dense overlapping field: small span so chains of suppression form
+            boxes = random_boxes(rng, n, span=12.0)
+            scores = rng.rand(n).astype(np.float64)
+            scores = np.unique(scores)[:n]  # distinct scores -> unique greedy order
+            rng.shuffle(scores)
+            scores = scores.astype(np.float32)
+            n = len(scores)
+            boxes = boxes[:n]
+            iou = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+            want = greedy_nms_host(iou, scores, thresh)
+            idx, mask = nms_bev(
+                jnp.asarray(boxes), jnp.asarray(scores), thresh,
+                pre_maxsize=n, post_maxsize=n,
+            )
+            got = set(np.asarray(idx)[np.asarray(mask)].tolist())
+            assert got == set(np.flatnonzero(want).tolist()), (
+                f"trial {trial}: n={n} thresh={thresh} "
+                f"missing={set(np.flatnonzero(want).tolist()) - got} "
+                f"extra={got - set(np.flatnonzero(want).tolist())}"
+            )
+
+    def test_long_suppression_chain(self):
+        # a 1-D chain of half-overlapping boxes with descending scores: greedy
+        # keeps every other box — the worst case for iterative closure depth
+        n = 64
+        boxes = np.zeros((n, 7), dtype=np.float32)
+        boxes[:, 0] = np.arange(n) * 1.0
+        boxes[:, 3] = 2.0  # dx=2, spacing 1 -> IoU(adjacent)=1/3
+        boxes[:, 4] = 2.0
+        boxes[:, 5] = 1.0
+        scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+        iou = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+        want = greedy_nms_host(iou, scores, 0.3)
+        idx, mask = nms_bev(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                            pre_maxsize=n, post_maxsize=n)
+        got = set(np.asarray(idx)[np.asarray(mask)].tolist())
+        assert got == set(np.flatnonzero(want).tolist())
+        assert got == set(range(0, n, 2))
+
+
+class TestCircleNMSFixedPointMatchesGreedy:
+    def test_randomized_equivalence(self):
+        from toda_tpu.ops.nms import circle_nms
+
+        rng = np.random.RandomState(11)
+        for n, radius in [(64, 2.0), (256, 1.0), (256, 4.0)]:
+            centers = rng.uniform(-20, 20, (n, 2)).astype(np.float32)
+            scores = rng.rand(n).astype(np.float32)
+            # host greedy over the same close matrix
+            d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            close = d2 < radius**2
+            want = greedy_nms_host(
+                np.where(close, 1.0, 0.0), scores, 0.5
+            )  # close==True -> "iou" 1.0 > 0.5 suppresses
+            idx, mask = circle_nms(
+                jnp.asarray(centers), jnp.asarray(scores), radius, post_maxsize=n
+            )
+            got = set(np.asarray(idx)[np.asarray(mask)].tolist())
+            assert got == set(np.flatnonzero(want).tolist())
+
+
 class TestPointsInBoxes:
     def test_matches_numpy(self, rng):
         boxes = random_boxes(rng, 10)

@@ -338,11 +338,12 @@ def test_residual_coder_matches_reference(sincos):
 
 def test_previous_residual_decoder_matches_reference():
     rng = np.random.RandomState(21)
-    enc = rng.randn(64, 7).astype(np.float32) * 0.3
-    anchors = rand_boxes(64, rng)
-    ref = ref_coders.PreviousResidualDecoder.decode_torch(t(enc), t(anchors)).numpy()
-    mine = np.asarray(my_coders.PreviousResidualDecoder.decode(jnp.asarray(enc), jnp.asarray(anchors)))
-    np.testing.assert_allclose(mine, ref, atol=1e-4, rtol=1e-4)
+    for extra in (0, 2):  # 9-col pins the velocity-channel anchor add (ADVICE r4)
+        enc = rng.randn(64, 7 + extra).astype(np.float32) * 0.3
+        anchors = rand_boxes(64, rng, extra=extra)
+        ref = ref_coders.PreviousResidualDecoder.decode_torch(t(enc), t(anchors)).numpy()
+        mine = np.asarray(my_coders.PreviousResidualDecoder.decode(jnp.asarray(enc), jnp.asarray(anchors)))
+        np.testing.assert_allclose(mine, ref, atol=1e-4, rtol=1e-4)
 
 
 def test_point_residual_coder_matches_reference():

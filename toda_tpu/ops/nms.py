@@ -160,15 +160,25 @@ def circle_nms(centers, scores, radius, post_maxsize=83, valid_mask=None):
     close = d2 < radius**2
     alive_score = so > NEG_INF / 2
 
-    def body(i, state):
-        keep, suppressed = state
-        is_keep = jnp.logical_and(jnp.logical_not(suppressed[i]), alive_score[i])
-        keep = keep.at[i].set(is_keep)
-        suppressed = jnp.where(is_keep, jnp.logical_or(suppressed, close[i]), suppressed)
-        return keep, suppressed
+    # same iterative fixed-point closure as nms_bev (see comment there): the
+    # greedy keep-set is the unique fixed point of
+    # keep[i] = alive[i] & ~any_{j<i}(close[j,i] & keep[j]); a handful of
+    # (n, n) masked sweeps replace n sequential latency-bound steps.
+    ranks = jnp.arange(n)
+    sup = close & (ranks[:, None] < ranks[None, :])
 
-    keep, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < n)
+
+    def body(state):
+        keep, _, it = state
+        new = alive_score & ~jnp.any(sup & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep0 = alive_score
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (alive_score & ~jnp.any(sup & keep0[:, None], axis=0), keep0, 0)
     )
     sel_scores = jnp.where(keep, so, NEG_INF)
     kk = min(post_maxsize, n)

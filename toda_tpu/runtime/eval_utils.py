@@ -98,6 +98,10 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
     first_batch_sec = None  # first dispatch includes XLA compile
     steady_t0, steady_frames = None, 0
     for batch in loader:
+        # start the steady window at the top of the SECOND iteration so the
+        # first batch's host postprocessing is outside it (ADVICE r4 #2)
+        if first_batch_sec is not None and steady_t0 is None:
+            steady_t0 = time.time()
         arrays = {
             "points": jnp.asarray(batch["points"]),
             "points_mask": jnp.asarray(batch["points_mask"]),
@@ -111,7 +115,6 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
         n_frames += b
         if first_batch_sec is None:
             first_batch_sec = time.time() - t0
-            steady_t0 = time.time()
         else:
             steady_frames += b
         pred_dicts = [
@@ -138,7 +141,7 @@ def eval_one_epoch(bundle, variables, loader, dataset, class_names, logger=None,
     # (compile + run) is reported separately — the reference's sec_per_example
     # log (eval_utils.py:79-80) has no compile phase to amortize, ours does
     # (VERDICT r3 weak #4: do not conflate compile with eval throughput)
-    if steady_frames > 0:
+    if steady_frames > 0 and steady_t0 is not None:
         sec_per_ex = (time.time() - steady_t0) / steady_frames
     else:
         sec_per_ex = (time.time() - t0) / max(n_frames, 1)

@@ -90,7 +90,12 @@ class PreviousResidualDecoder:
         dyg = jnp.exp(box_encodings[..., 3]) * dya
         dzg = jnp.exp(box_encodings[..., 5]) * dza
         rg = box_encodings[..., 6] + anchors[..., 6]
-        cgs = [box_encodings[..., i] for i in range(7, box_encodings.shape[-1])]
+        # extra channels (e.g. velocity) are residuals off the anchor, same as
+        # ResidualCoder.decode (reference box_coder_utils.py:129: cgs = [t + a])
+        cgs = [
+            box_encodings[..., i] + anchors[..., i]
+            for i in range(7, box_encodings.shape[-1])
+        ]
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], axis=-1)
 
 
