@@ -94,6 +94,46 @@ class TestNMS:
         assert set(idx[mask].tolist()) <= {0, 1, 2}
 
 
+class TestRotatedIoUVsHostGolden:
+    """Dense randomized pin of the device edge-clip IoU against the host
+    float64 Sutherland–Hodgman golden (box_utils.boxes_bev_iou_cpu)."""
+
+    def test_random_dense(self):
+        rng = np.random.RandomState(3)
+        a = random_boxes(rng, 80, span=15.0)
+        b = random_boxes(rng, 60, span=15.0)
+        want = box_utils.boxes_bev_iou_cpu(a, b)
+        got = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_touching_and_axis_aligned(self):
+        # abutting boxes (shared edge), nested boxes, identical boxes
+        a = np.array([
+            [0, 0, 0, 2, 2, 1, 0.0],
+            [5, 5, 0, 4, 4, 1, 0.0],
+            [10, 0, 0, 2, 2, 1, np.pi / 2],
+        ], dtype=np.float32)
+        b = np.array([
+            [2, 0, 0, 2, 2, 1, 0.0],   # abuts a[0] exactly -> IoU 0
+            [5, 5, 0, 2, 2, 1, 0.0],   # nested in a[1] -> 4/16
+            [10, 0, 0, 2, 2, 1, np.pi / 2],  # identical to a[2] -> 1
+        ], dtype=np.float32)
+        got = np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+        want = box_utils.boxes_bev_iou_cpu(a, b)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        assert abs(got[0, 0]) < 1e-2
+        assert abs(got[1, 1] - 0.25) < 1e-3
+        assert abs(got[2, 2] - 1.0) < 1e-3
+
+    def test_rotated_cross(self):
+        # the classic 45-degree cross: two identical squares, one rotated
+        a = np.array([[0, 0, 0, 2, 2, 1, 0.0]], dtype=np.float32)
+        b = np.array([[0, 0, 0, 2, 2, 1, np.pi / 4]], dtype=np.float32)
+        got = float(np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))[0, 0])
+        want = float(box_utils.boxes_bev_iou_cpu(a, b)[0, 0])
+        assert abs(got - want) < 1e-3
+
+
 def greedy_nms_host(iou, scores, thresh):
     """Plain sequential greedy NMS over a precomputed IoU matrix (the
     reference semantics of pcdet iou3d_nms_kernel.cu nms_gpu, run on host).

@@ -41,7 +41,7 @@ def cmd_trace():
     import bench
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    step, state, batches, _ = bench.build_bench(bs)
+    _, step, state, batches, _ = bench.build_bench("second", bs)
     state, tb = step(state, batches[0])
     jax.block_until_ready(tb["loss"])
 
@@ -440,7 +440,7 @@ def cmd_spans():
         voxelize_pillars,
     )
 
-    _, _, arrays, bs = bench.build_bench(4)
+    _, _, _, arrays, bs = bench.build_bench("second", 4)
     pts = np.concatenate([np.asarray(b["points"]) for b in arrays]) \
         if isinstance(arrays, list) else np.asarray(arrays["points"])
     pmask = np.concatenate([np.asarray(b["points_mask"]) for b in arrays]) \
