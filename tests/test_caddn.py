@@ -67,3 +67,83 @@ def test_caddn_loss_and_grads():
         if "vfe" in str(p)
     )
     assert gsum > 0
+
+
+class TestFrustumToVoxelGeometry:
+    """VERDICT r4 #5 instrumentation: a delta painted at a box center's
+    projected (v, u, depth-bin) frustum cell must land in that box center's
+    voxel cell after the lift — i.e. image features and BEV anchor targets
+    agree on where an object is."""
+
+    def _setup(self):
+        # the caddn_synthetic_cam operating point
+        from toda_tpu.models.backbones_3d.vfe.image_vfe import bin_depths
+        cfg = dict(
+            pc_range=[0.0, -20.0, -3.0, 40.0, 20.0, 1.0],
+            voxel=[0.25, 0.25, 0.25],
+            grid=(160, 160, 16),
+            h=96, w=128, f=76.8, ds=4,
+            mode="LID", dmin=2.0, dmax=42.0, dbins=48,
+        )
+        l2c = np.array(
+            [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32
+        )
+        c2i = np.array(
+            [[cfg["f"], 0, cfg["w"] / 2.0, 0],
+             [0, cfg["f"], cfg["h"] / 2.0, 0],
+             [0, 0, 1, 0]], np.float32
+        )
+        return cfg, l2c, c2i, bin_depths
+
+    def test_box_center_delta_lands_in_its_voxel(self):
+        from toda_tpu.models.backbones_3d.vfe.image_vfe import lift_frustum_to_voxels
+
+        cfg, l2c, c2i, bin_depths = self._setup()
+        rng = np.random.RandomState(5)
+        hits = 0
+        centers = [
+            (10.0, 0.0, -0.5), (20.0, 5.0, 0.0), (30.0, -8.0, -1.0),
+            (15.0, 10.0, -2.0), (35.0, -3.0, 0.5), (8.0, -2.0, -1.5),
+        ]
+        for cx, cy, cz in centers:
+            # project the center exactly like the lift does
+            cam = l2c @ np.array([cx, cy, cz, 1.0], np.float32)
+            depth = cam[2]
+            img = c2i[:, :3] @ cam[:3] + c2i[:, 3]
+            u, v = img[0] / img[2], img[1] / img[2]
+            db = float(np.asarray(bin_depths(
+                jnp.asarray(depth), cfg["mode"], cfg["dmin"], cfg["dmax"],
+                cfg["dbins"], clamp=False)))
+            hf, wf = cfg["h"] // cfg["ds"], cfg["w"] // cfg["ds"]
+            frustum = np.zeros((hf, wf, cfg["dbins"], 1), np.float32)
+            vi, ui, di = int(round(v / cfg["ds"])), int(round(u / cfg["ds"])), int(round(db))
+            assert 0 <= vi < hf and 0 <= ui < wf and 0 <= di < cfg["dbins"], (
+                f"center {(cx, cy, cz)} projects out of frustum: {(vi, ui, di)}"
+            )
+            frustum[vi, ui, di, 0] = 1.0
+            vox = np.asarray(lift_frustum_to_voxels(
+                jnp.asarray(frustum), jnp.asarray(l2c), jnp.asarray(c2i),
+                cfg["grid"], cfg["pc_range"], cfg["voxel"],
+                cfg["mode"], cfg["dmin"], cfg["dmax"], cfg["dbins"], cfg["ds"],
+            ))  # (Z, Y, X, 1)
+            assert vox.max() > 0, f"center {(cx, cy, cz)}: lift produced all zeros"
+            zi, yi, xi, _ = np.unravel_index(vox.argmax(), vox.shape)
+            # expected voxel indices of the center
+            ex = int((cx - cfg["pc_range"][0]) / cfg["voxel"][0])
+            ey = int((cy - cfg["pc_range"][1]) / cfg["voxel"][1])
+            ez = int((cz - cfg["pc_range"][2]) / cfg["voxel"][2])
+            # one frustum cell covers several voxels at this resolution
+            # (ds=4 pixels, LID bins); the argmax must be within the cell's
+            # footprint of the true center — a few voxels, not across the map
+            du = abs(xi - ex) * cfg["voxel"][0]
+            dv = abs(yi - ey) * cfg["voxel"][1]
+            dz = abs(zi - ez) * cfg["voxel"][2]
+            frustum_cell_m = depth * cfg["ds"] / cfg["f"]  # pixel-cell size at depth
+            tol_xy = max(3 * frustum_cell_m, 1.5)
+            assert du < tol_xy and dv < tol_xy and dz < 3.0, (
+                f"center {(cx, cy, cz)}: argmax voxel {(zi, yi, xi)} vs expected "
+                f"{(ez, ey, ex)} — offset ({du:.2f}, {dv:.2f}, {dz:.2f}) m, "
+                f"tol {tol_xy:.2f}"
+            )
+            hits += 1
+        assert hits == len(centers)
