@@ -45,7 +45,7 @@ TARGETS = {
 }
 
 
-def build_cfg(model, batch_size, n_batches):
+def build_cfg(model, batch_size, n_batches, max_pillars=None):
     from toda_tpu.config import EDict, cfg_from_yaml_file
 
     root = Path(__file__).resolve().parent
@@ -78,6 +78,8 @@ def build_cfg(model, batch_size, n_batches):
                 proc.MAX_NUMBER_OF_VOXELS = {"train": 120000, "test": 120000}
         # ~30k occupied cells at 0.1 m scales to ~42k at 0.075 m; round up
         cfg.MODEL.BACKBONE_3D.MAX_PILLARS = 49152
+    if max_pillars:  # --pillars N: occupancy-sensitivity sweep (EVIDENCE r5)
+        cfg.MODEL.BACKBONE_3D.MAX_PILLARS = int(max_pillars)
     cfg.DATA_CONFIG.NUM_BACKGROUND_POINTS = 100000
     cfg.DATA_CONFIG.NUM_OBJECTS = [20, 40]
     cfg.DATA_CONFIG.MAX_GT_BOXES = 64
@@ -87,14 +89,14 @@ def build_cfg(model, batch_size, n_batches):
     return cfg
 
 
-def build_bench(model, batch_size=4, n_batches=4):
+def build_bench(model, batch_size=4, n_batches=4, max_pillars=None):
     import jax.numpy as jnp
 
     from toda_tpu.datasets import build_dataloader
     from toda_tpu.models import build_network
     from toda_tpu.runtime.train_utils import create_train_state, make_train_step
 
-    cfg = build_cfg(model, batch_size, n_batches)
+    cfg = build_cfg(model, batch_size, n_batches, max_pillars)
     np.random.seed(0)
     dataset, loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True
@@ -116,10 +118,10 @@ def build_bench(model, batch_size=4, n_batches=4):
     return bundle, step, state, batches, batch_size
 
 
-def bench_train(model, batch_size):
+def bench_train(model, batch_size, max_pillars=None):
     import jax
 
-    bundle, step, state, batches, batch_size = build_bench(model, batch_size)
+    bundle, step, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars)
 
     # warmup / compile
     state, tb = step(state, batches[0])
@@ -156,7 +158,7 @@ def bench_train(model, batch_size):
     }
 
 
-def bench_infer(model, batch_size):
+def bench_infer(model, batch_size, max_pillars=None):
     """Post-compile inference throughput: forward + box decode + NMS.
 
     Compile time is reported separately in the JSON (extra key) — the
@@ -166,7 +168,7 @@ def bench_infer(model, batch_size):
 
     from toda_tpu.runtime.eval_utils import make_predict_step
 
-    bundle, _, state, batches, batch_size = build_bench(model, batch_size)
+    bundle, _, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     predict = make_predict_step(bundle)
     infer_batches = [
@@ -213,11 +215,16 @@ def main():
     infer = "--infer" in args
     if "--model" in args:
         model = args[args.index("--model") + 1]
+    max_pillars = None
+    if "--pillars" in args:
+        max_pillars = int(args[args.index("--pillars") + 1])
+        args.remove("--pillars"); args.remove(str(max_pillars))
     positional = [a for a in args if not a.startswith("--") and a.isdigit()]
     if positional:
         batch_size = int(positional[0])
 
-    result = bench_infer(model, batch_size) if infer else bench_train(model, batch_size)
+    result = (bench_infer(model, batch_size, max_pillars) if infer
+              else bench_train(model, batch_size, max_pillars))
     print(json.dumps(result))
 
 
