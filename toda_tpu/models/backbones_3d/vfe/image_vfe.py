@@ -55,22 +55,26 @@ class DDNBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, images, training=False):
-        # images (B, H, W, 3) in [0, 1]
+        # images (B, H, W, 3) in [0, 1].
+        # GroupNorm, not BatchNorm: measured (r5 caddn_debug) the image
+        # stack's BN running stats lag batch stats by up to ~3.5 normalized
+        # units during training (sparse splat images -> volatile per-batch
+        # moments), collapsing eval-mode cls scores from 0.95 to 0.10 while
+        # train-mode detects perfectly. GroupNorm is batch-independent: the
+        # train/eval forward is identical by construction.
         x = images
         ch = 32
         stride_left = self.downsample
         while stride_left > 1:
             x = nn.Conv(ch, (3, 3), strides=(2, 2), use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                             epsilon=1e-3)(x)
+            x = nn.GroupNorm(num_groups=min(8, ch), epsilon=1e-3)(x)
             x = nn.relu(x)
             ch = min(ch * 2, 128)
             stride_left //= 2
         ch = x.shape[-1]
         for _ in range(2):  # residual body
             h = nn.Conv(ch, (3, 3), use_bias=False)(x)
-            h = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                             epsilon=1e-3)(h)
+            h = nn.GroupNorm(num_groups=min(8, ch), epsilon=1e-3)(h)
             h = nn.relu(h)
             h = nn.Conv(ch, (3, 3), use_bias=False)(h)
             x = nn.relu(x + h)

@@ -1335,6 +1335,74 @@ def _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans=None):
     )
 
 
+def _fwd_vmem_bytes(cfg):
+    """Scoped-VMEM model of the fwd kernel call (all in-spec/out-spec blocks
+    double-buffered by the Mosaic pipeline + single-buffered scratch)."""
+    eb = 2
+    blk = cfg["blk_fwd"]
+    whalo, span = cfg["whalo"], cfg["span"]
+    w0 = cfg["nz_in"] * cfg["c"]
+    w2 = cfg["nz_out"] * cfg["cout"]
+    ks = fwd_band_slabs(cfg["zg"], cfg["z_stride"])
+    return (
+        NBUF * len(cfg["groups"]) * whalo * span * eb  # win scratch
+        + whalo * (9 * blk if WIDE_FWD else blk) * eb  # gbuf scratch
+        + w2 * blk * 4  # f32 acc scratch
+        + 2 * 9 * blk * 4  # meta in-spec
+        + 2 * 2 * whalo * 128 * eb  # sc/sh (lane-padded) in-specs
+        + 2 * 9 * ks * cfg["c"] * cfg["zg"] * cfg["cout"] * eb  # wband in-spec
+        + 2 * w2 * blk * eb  # out
+        + 2 * w0 * blk * eb  # identity xblk
+    )
+
+
+def _bwd_vmem_bytes(cfg):
+    """Scoped-VMEM model of the combined dx+dw backward call."""
+    eb = 2
+    blk = cfg["blk_bwd"]
+    whalo2, span = cfg["whalo2"], cfg["span_bwd"]
+    w0 = cfg["nz_in"] * cfg["c"]
+    w2 = cfg["nz_out"] * cfg["cout"]
+    k2 = bwd_band_slabs(cfg["zg2"], cfg["z_stride"])
+    return (
+        NBUF * 3 * whalo2 * span * eb  # win scratch
+        + whalo2 * (9 * blk if WIDE_FWD else blk) * eb  # gbuf scratch
+        + w0 * blk * (4 + eb)  # f32 acc + xbb scratch
+        + 2 * (w0 + w0 + w2) * blk * eb  # gout + xblk + gyblk
+        + 2 * 9 * cfg["zg2"] * cfg["c"] * k2 * cfg["cout"] * 4  # dwacc out
+    )
+
+
+# Empirical scoped-VMEM budgets (v5e, 16 MB Mosaic default limit), calibrated
+# against observed compile outcomes rather than derived — Mosaic adds stack
+# overhead the block model cannot see (r5: down4@nz49 fwd modeled 12.34 MB,
+# real "Scoped allocation 16.50M exceeded limit"; the nz=40 chain's largest
+# modeled fwd 11.64 MB / bwd 15.96 MB both compile):
+#   fwd: good <= 11.64 MB, OOM at 12.34 MB  -> budget 11.8 MB
+#   bwd: good <= 12.94 MB (nz=40 chain max), OOM at modeled 14.06 MB
+#        (stage3/conv1 bwd @ nz=49: "Scoped allocation 16.19M") -> 13.5 MB
+FWD_VMEM_BUDGET = int(11.8 * 2**20)
+BWD_VMEM_BUDGET = int(13.5 * 2**20)
+MIN_BLK = 32
+
+
+def _fit_blocks(cfg, m_in, m_out):
+    """Halve blk_fwd / blk_bwd (down to MIN_BLK) until the modeled scoped-VMEM
+    fits the empirical budgets. Mutates and returns cfg; returns None when even
+    the smallest blocks do not fit. Large-nz shape classes (the reference
+    flagship z range gives nz=49) need this — the window scratch is
+    block-size-independent, but every other term scales with blk."""
+    while _fwd_vmem_bytes(cfg) > FWD_VMEM_BUDGET:
+        if cfg["blk_fwd"] <= MIN_BLK or m_out % (cfg["blk_fwd"] // 2):
+            return None
+        cfg["blk_fwd"] //= 2
+    while _bwd_vmem_bytes(cfg) > BWD_VMEM_BUDGET:
+        if cfg["blk_bwd"] <= MIN_BLK or m_in % (cfg["blk_bwd"] // 2):
+            return None
+        cfg["blk_bwd"] //= 2
+    return cfg
+
+
 def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
     """Static gate for the fused kernel path."""
     if INTERPRET:
@@ -1343,29 +1411,10 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
         return False
     cfg = _make_cfg(c, cout, nz_in, z_stride, True, None, spans)
     m_in = x_shape[1]
-    eb = 2  # bf16 element bytes
-    w0, w2 = nz_in * c, cfg["nz_out"] * cout
-    # scoped-VMEM estimate vs the 16 MB default limit: DMA windows + gather
-    # buffer + f32 accumulator + double-buffered in/out blocks (Mosaic
-    # pipelines each block spec x2)
-    bf = cfg["blk_fwd"]
-    fwd_vmem = (
-        NBUF * len(cfg["groups"]) * cfg["whalo"] * cfg["span"] * eb
-        + cfg["whalo"] * (9 * bf if WIDE_FWD else bf) * eb
-        + w2 * bf * 4
-        + 2 * (w2 + w0) * bf * eb  # out + identity xblk
-    )
-    bb = cfg["blk_bwd"]
-    k2 = bwd_band_slabs(cfg["zg2"], z_stride)
-    bwd_vmem = (
-        NBUF * 3 * cfg["whalo2"] * cfg["span_bwd"] * eb
-        + cfg["whalo2"] * (9 * bb if WIDE_FWD else bb) * eb
-        + w0 * bb * (4 + eb)  # f32 acc + xbb
-        + 2 * (w0 + w0 + w2) * bb * eb  # gout + xblk + gyblk
-        + 2 * 9 * cfg["zg2"] * c * k2 * cout * 4  # dwacc out
-    )
+    cfg = _fit_blocks(cfg, m_in, m_out)
     return (
-        c % 8 == 0
+        cfg is not None
+        and c % 8 == 0
         and cout % 8 == 0
         and m_in % cfg["blk_bwd"] == 0
         and m_out % cfg["blk_fwd"] == 0
@@ -1373,8 +1422,6 @@ def fused_ok(x_shape, dtype, c, cout, m_out, nz_in, z_stride, spans=None):
         and m_out >= cfg["span_bwd"]
         and cfg["whalo"] <= 1024
         and cfg["whalo2"] <= 1024
-        and fwd_vmem <= 14 * 2**20
-        and bwd_vmem <= 14 * 2**20
     )
 
 
@@ -1402,6 +1449,7 @@ def _fused_fwd_impl(x, scale, shift, w, idxf, nz_in, z_stride, act,
     cout = w.shape[-1]
     cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_out = idxf.shape[0]
+    cfg = _fit_blocks(cfg, x.shape[1], m_out) or cfg  # mirror fused_ok's blocks
     meta, li4, overflow = _prologue(idxf, x.shape[1], cfg["span"],
                                     cfg["blk_fwd"])
     sc_h, sh_h = _affine_rows(scale, shift, cfg["whalo"], c, c, nz_in * c,
@@ -1481,6 +1529,7 @@ def _fused_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
     cout = w.shape[-1]
     cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_in = x.shape[1]
+    cfg = _fit_blocks(cfg, m_in, idxf.shape[0]) or cfg
     w0 = nz_in * c
     gy = gy.astype(x.dtype)
 
@@ -1582,6 +1631,7 @@ def _split_vjp_bwd(nz_in, z_stride, act, identity_tap, spans, res, gy):
     cfg = _make_cfg(c, cout, nz_in, z_stride, act, identity_tap, spans)
     m_in = x.shape[1]
     m_out = idxf.shape[0]
+    cfg = _fit_blocks(cfg, m_in, m_out) or cfg
     w0 = nz_in * c
     gy = gy.astype(x.dtype)
 
