@@ -45,7 +45,7 @@ TARGETS = {
 }
 
 
-def build_cfg(model, batch_size, n_batches, max_pillars=None):
+def build_cfg(model, batch_size, n_batches, max_pillars=None, fullz=False):
     from toda_tpu.config import EDict, cfg_from_yaml_file
 
     root = Path(__file__).resolve().parent
@@ -65,10 +65,8 @@ def build_cfg(model, batch_size, n_batches, max_pillars=None):
         cfg = cfg_from_yaml_file(
             str(root / "tools/cfgs/synthetic_models/centerpoint_synthetic.yaml"), EDict()
         )
-        # z capped at 3.0 (nz=40, the kernel shape class proven by the SECOND
-        # path) — the reference's 4.8 gives nz=49, which currently exceeds the
-        # fused down-conv's scoped-VMEM budget and would fall back / OOM
-        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-54.0, -54.0, -5.0, 54.0, 54.0, 3.0]
+        z_top = 4.8 if fullz else 3.0  # reference flagship z: [-5, 4.8] -> nz=49
+        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-54.0, -54.0, -5.0, 54.0, 54.0, z_top]
         for proc in cfg.DATA_CONFIG.DATA_PROCESSOR:
             if proc.NAME == "sample_points":
                 proc.NUM_POINTS = {"train": 131072, "test": 131072}
@@ -89,14 +87,14 @@ def build_cfg(model, batch_size, n_batches, max_pillars=None):
     return cfg
 
 
-def build_bench(model, batch_size=4, n_batches=4, max_pillars=None):
+def build_bench(model, batch_size=4, n_batches=4, max_pillars=None, fullz=False):
     import jax.numpy as jnp
 
     from toda_tpu.datasets import build_dataloader
     from toda_tpu.models import build_network
     from toda_tpu.runtime.train_utils import create_train_state, make_train_step
 
-    cfg = build_cfg(model, batch_size, n_batches, max_pillars)
+    cfg = build_cfg(model, batch_size, n_batches, max_pillars, fullz)
     np.random.seed(0)
     dataset, loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True
@@ -118,10 +116,10 @@ def build_bench(model, batch_size=4, n_batches=4, max_pillars=None):
     return bundle, step, state, batches, batch_size
 
 
-def bench_train(model, batch_size, max_pillars=None):
+def bench_train(model, batch_size, max_pillars=None, fullz=False):
     import jax
 
-    bundle, step, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars)
+    bundle, step, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars, fullz=fullz)
 
     # warmup / compile
     state, tb = step(state, batches[0])
@@ -158,7 +156,7 @@ def bench_train(model, batch_size, max_pillars=None):
     }
 
 
-def bench_infer(model, batch_size, max_pillars=None):
+def bench_infer(model, batch_size, max_pillars=None, fullz=False):
     """Post-compile inference throughput: forward + box decode + NMS.
 
     Compile time is reported separately in the JSON (extra key) — the
@@ -168,7 +166,7 @@ def bench_infer(model, batch_size, max_pillars=None):
 
     from toda_tpu.runtime.eval_utils import make_predict_step
 
-    bundle, _, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars)
+    bundle, _, state, batches, batch_size = build_bench(model, batch_size, max_pillars=max_pillars, fullz=fullz)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     predict = make_predict_step(bundle)
     infer_batches = [
@@ -215,6 +213,7 @@ def main():
     infer = "--infer" in args
     if "--model" in args:
         model = args[args.index("--model") + 1]
+    fullz = "--fullz" in args
     max_pillars = None
     if "--pillars" in args:
         max_pillars = int(args[args.index("--pillars") + 1])
@@ -223,8 +222,8 @@ def main():
     if positional:
         batch_size = int(positional[0])
 
-    result = (bench_infer(model, batch_size, max_pillars) if infer
-              else bench_train(model, batch_size, max_pillars))
+    result = (bench_infer(model, batch_size, max_pillars, fullz) if infer
+              else bench_train(model, batch_size, max_pillars, fullz))
     print(json.dumps(result))
 
 
